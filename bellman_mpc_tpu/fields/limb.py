@@ -1,0 +1,293 @@
+"""TPU limb-decomposed Montgomery field arithmetic (the device substrate).
+
+TPUs have no native 64-bit integer multiplier, so every field op in this
+framework runs over a limb decomposition: a field element is a vector of
+``L`` 12-bit limbs held in int32 lanes, and a *batch* of elements is an array
+of shape ``(L, *batch)`` — limbs-first, so the (large) batch axis lands on the
+TPU's 128-wide vector lanes and the tiny limb axis on sublanes.  All
+arithmetic is branch-free and shape-static, so entire protocol pipelines
+(NTT -> MSM -> pairing) trace into a single XLA program.
+
+Representation invariants:
+  * limbs are canonical:   0 <= limb < 2^12   (int32 storage)
+  * values are "lazy":     0 <= value < 2*p   (classic lazy Montgomery range;
+    requires 4p < R = 2^(12*L), which holds for every field we instantiate)
+  * unless stated otherwise values are in Montgomery form  x*R mod p.
+
+Why 12-bit limbs: schoolbook column sums of L<=32 products of 12-bit limbs
+stay below 2^29 and the interleaved Montgomery reduction peaks below 2^31,
+so everything fits signed int32 with no carry splitting — one multiply-add
+per partial product on the VPU.
+
+This module is the TPU-native replacement for the reference's `ff`-crate
+64-bit-limb Montgomery arithmetic (the reference's field layer is the
+`ff`/`bls12_381` dependency, bellman/Cargo.toml:15-32; its hand-written
+Montgomery reduction appears at bellman/src/gt_bytes.rs:76-151).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 12
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def _ceil_even(x: int) -> int:
+    return x + (x % 2)
+
+
+def _jit_method(*static_argnums):
+    """jit a method with `self` (and listed extra argnums) static.
+
+    LimbField instances are singletons, so hashing by identity is sound and
+    every public op compiles once per (field, shape) and is cached thereafter.
+    """
+    def deco(fn):
+        return functools.partial(jax.jit, static_argnums=(0,) + tuple(static_argnums))(fn)
+    return deco
+
+
+class LimbField:
+    """Montgomery arithmetic over GF(p) on ``(L, *batch)`` int32 limb arrays."""
+
+    def __init__(self, modulus: int, name: str = "F"):
+        self.p = modulus
+        self.name = name
+        b = LIMB_BITS
+        # Enough limbs that R = 2^(bL) > 4p (lazy-range requirement), L even
+        # so host <-> limb codecs can work on 3-byte / 2-limb chunks.
+        L = _ceil_even(-(-(modulus.bit_length() + 2) // b))
+        self.L = L
+        self.nbytes = 3 * L // 2
+        self.R = 1 << (b * L)
+        assert 4 * modulus < self.R
+        self.n0inv = (-pow(modulus, -1, 1 << b)) % (1 << b)
+        self.r2 = (self.R * self.R) % modulus
+
+        self._p_list = self._int_to_limbs(modulus)
+        self._2p_list = self._int_to_limbs(2 * modulus)
+        self.p_limbs = jnp.asarray(self._p_list, jnp.int32)
+        self.two_p_limbs = jnp.asarray(self._2p_list, jnp.int32)
+        self.p_rest = jnp.asarray(self._p_list[1:], jnp.int32)  # (L-1,)
+        self.p0 = int(self._p_list[0])
+        # Montgomery form of one (= R mod p), and plain one, as (L,) consts.
+        self.mont_one_limbs = jnp.asarray(
+            self._int_to_limbs(self.R % modulus), jnp.int32
+        )
+        self.one_limbs = jnp.asarray(self._int_to_limbs(1), jnp.int32)
+
+    # ------------------------------------------------------------------ utils
+    def _int_to_limbs(self, v: int) -> List[int]:
+        return [(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(self.L)]
+
+    def _bc(self, const_1d: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+        """Broadcast an (L,)-shaped constant against an (L, *batch) array."""
+        return const_1d.reshape((const_1d.shape[0],) + (1,) * (like.ndim - 1))
+
+    def zeros(self, batch_shape: Tuple[int, ...] = ()) -> jnp.ndarray:
+        return jnp.zeros((self.L,) + tuple(batch_shape), jnp.int32)
+
+    def const(self, value: int, batch_shape: Tuple[int, ...] = (), mont: bool = True) -> jnp.ndarray:
+        """Broadcast a host integer constant to an (L, *batch) device array."""
+        v = value % self.p
+        if mont:
+            v = v * self.R % self.p
+        c = jnp.asarray(self._int_to_limbs(v), jnp.int32)
+        return jnp.broadcast_to(
+            c.reshape((self.L,) + (1,) * len(batch_shape)),
+            (self.L,) + tuple(batch_shape),
+        )
+
+    def mont_one(self, batch_shape: Tuple[int, ...] = ()) -> jnp.ndarray:
+        return self.const(1, batch_shape, mont=True)
+
+    # ------------------------------------------------------- carry management
+    def propagate(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Sequential carry propagation along the limb axis.
+
+        Accepts limbs in (-2^31, 2^31); arithmetic right-shift makes this
+        correct for negative intermediates (e.g. from subtraction).
+        The represented value must fit in L limbs (guaranteed by callers).
+        """
+        def body(carry, limb):
+            v = limb + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        _, limbs = jax.lax.scan(body, jnp.zeros(t.shape[1:], jnp.int32), t)
+        return limbs
+
+    def _sub_limbs(self, x: jnp.ndarray, m: jnp.ndarray):
+        """x - m limb-wise with borrow chain; returns (diff, borrow_out)."""
+        def body(carry, xs):
+            xi, mi = xs
+            v = xi - mi + carry
+            return v >> LIMB_BITS, v & LIMB_MASK
+
+        borrow, d = jax.lax.scan(
+            body, jnp.zeros(x.shape[1:], jnp.int32), (x, jnp.broadcast_to(self._bc(m, x), x.shape))
+        )
+        return d, borrow
+
+    def _cond_sub(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+        """Subtract the (L,) constant m when x >= m (branch-free)."""
+        d, borrow = self._sub_limbs(x, m)
+        return jnp.where(borrow == 0, d, x)
+
+    # ------------------------------------------------------------- arithmetic
+    @_jit_method()
+    def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return self._cond_sub(self.propagate(a + b), self.two_p_limbs)
+
+    @_jit_method()
+    def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        t = a - b + self._bc(self.two_p_limbs, a)
+        return self._cond_sub(self.propagate(t), self.two_p_limbs)
+
+    @_jit_method()
+    def neg(self, a: jnp.ndarray) -> jnp.ndarray:
+        t = self._bc(self.two_p_limbs, a) - a
+        return self._cond_sub(self.propagate(t), self.two_p_limbs)
+
+    @_jit_method()
+    def double(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.add(a, a)
+
+    @_jit_method()
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product a*b*R^{-1} mod p (lazy range in, lazy range out).
+
+        Schoolbook column products then interleaved word-by-word Montgomery
+        reduction; both phases are `fori_loop`s over the (tiny) limb axis so
+        tracing cost stays O(L) while the batch axes ride the vector lanes.
+        """
+        L = self.L
+        a, b = jnp.broadcast_arrays(a, b)
+        batch = a.shape[1:]
+        t0 = jnp.zeros((2 * L,) + batch, jnp.int32)
+
+        def prod_body(i, t):
+            ai = jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False)
+            cur = jax.lax.dynamic_slice_in_dim(t, i, L, 0)
+            return jax.lax.dynamic_update_slice_in_dim(t, cur + ai * b, i, 0)
+
+        t = jax.lax.fori_loop(0, L, prod_body, t0)
+
+        p_rest = self._bc(self.p_rest, t)
+
+        def red_body(i, state):
+            carry, t = state
+            ti = jax.lax.dynamic_index_in_dim(t, i, 0, keepdims=False) + carry
+            m = (ti * self.n0inv) & LIMB_MASK
+            carry = (ti + m * self.p0) >> LIMB_BITS
+            cur = jax.lax.dynamic_slice_in_dim(t, i + 1, L - 1, 0)
+            t = jax.lax.dynamic_update_slice_in_dim(t, cur + m * p_rest, i + 1, 0)
+            return carry, t
+
+        carry, t = jax.lax.fori_loop(
+            0, L, red_body, (jnp.zeros(batch, jnp.int32), t)
+        )
+        r = t[L:].at[0].add(carry)
+        return self._cond_sub(self.propagate(r), self.two_p_limbs)
+
+    @_jit_method()
+    def square(self, a: jnp.ndarray) -> jnp.ndarray:
+        return self.mul(a, a)
+
+    @_jit_method(2)
+    def mul_const(self, a: jnp.ndarray, c: int) -> jnp.ndarray:
+        """Multiply by a host integer constant (Montgomery-encoded on the fly)."""
+        return self.mul(a, self._bc(jnp.asarray(
+            self._int_to_limbs(c % self.p * self.R % self.p), jnp.int32), a))
+
+    @_jit_method(2)
+    def pow_const(self, a: jnp.ndarray, e: int) -> jnp.ndarray:
+        """a^e for a host integer exponent (left-to-right binary ladder)."""
+        if e == 0:
+            return self.mont_one(a.shape[1:])
+        bits_arr = jnp.asarray([int(c) for c in bin(e)[2:]], jnp.int32)
+
+        def body(i, r):
+            r = self.mul(r, r)
+            return jnp.where(bits_arr[i] == 1, self.mul(r, a), r)
+
+        return jax.lax.fori_loop(0, bits_arr.shape[0], body, self.mont_one(a.shape[1:]))
+
+    @_jit_method()
+    def inv(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Batched Fermat inversion a^(p-2); maps 0 -> 0 (caller checks)."""
+        return self.pow_const(a, self.p - 2)
+
+    # ------------------------------------------------------------ comparisons
+    @_jit_method()
+    def canon(self, a: jnp.ndarray) -> jnp.ndarray:
+        """Reduce from lazy [0,2p) to canonical [0,p)."""
+        return self._cond_sub(a, self.p_limbs)
+
+    @_jit_method()
+    def eq(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(self.canon(a) == self.canon(b), axis=0)
+
+    @_jit_method()
+    def is_zero(self, a: jnp.ndarray) -> jnp.ndarray:
+        return jnp.all(self.canon(a) == 0, axis=0)
+
+    @_jit_method()
+    def select(self, cond: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """cond ? a : b with cond shaped like the batch (broadcast over limbs)."""
+        return jnp.where(jnp.asarray(cond)[None], a, b)
+
+    # ------------------------------------------------- Montgomery conversions
+    @_jit_method()
+    def to_mont(self, a_std: jnp.ndarray) -> jnp.ndarray:
+        r2 = self._bc(jnp.asarray(self._int_to_limbs(self.r2), jnp.int32), a_std)
+        return self.mul(a_std, r2)
+
+    @_jit_method()
+    def from_mont(self, a_mont: jnp.ndarray) -> jnp.ndarray:
+        one = self._bc(self.one_limbs, a_mont)
+        return self.canon(self.mul(a_mont, one))
+
+    # ----------------------------------------------------------- host codecs
+    def encode(self, values: Sequence[int], mont: bool = True) -> jnp.ndarray:
+        """Host ints -> (L, N) int32 device array (vectorized via 3-byte chunks)."""
+        p = self.p
+        if mont:
+            R = self.R
+            values = [v % p * R % p for v in values]
+        else:
+            values = [v % p for v in values]
+        n = len(values)
+        raw = b"".join(v.to_bytes(self.nbytes, "little") for v in values)
+        u = np.frombuffer(raw, np.uint8).reshape(n, self.nbytes).astype(np.int32)
+        c = u[:, 0::3] + (u[:, 1::3] << 8) + (u[:, 2::3] << 16)  # (N, L/2)
+        limbs = np.empty((n, self.L), np.int32)
+        limbs[:, 0::2] = c & LIMB_MASK
+        limbs[:, 1::2] = c >> LIMB_BITS
+        return jnp.asarray(limbs.T)
+
+    def decode(self, arr, mont: bool = True) -> List[int]:
+        """(L, *batch) device array -> list of host ints (canonical, std form)."""
+        a = jnp.asarray(arr)
+        if mont:
+            a = self.from_mont(a)
+        else:
+            a = self.canon(a)
+        flat = np.asarray(a.reshape(self.L, -1)).astype(object)
+        vals = [0] * flat.shape[1]
+        for i in range(self.L - 1, -1, -1):
+            row = flat[i]
+            for j in range(flat.shape[1]):
+                vals[j] = (vals[j] << LIMB_BITS) | int(row[j])
+        return vals
+
+    def decode_one(self, arr, mont: bool = True) -> int:
+        return self.decode(arr.reshape(self.L, 1), mont=mont)[0]
+
+    def __repr__(self) -> str:
+        return f"LimbField({self.name}, L={self.L}, bits={self.p.bit_length()})"
