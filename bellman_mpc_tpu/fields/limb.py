@@ -278,13 +278,18 @@ class LimbField:
             a = self.from_mont(a)
         else:
             a = self.canon(a)
-        flat = np.asarray(a.reshape(self.L, -1)).astype(object)
-        vals = [0] * flat.shape[1]
-        for i in range(self.L - 1, -1, -1):
-            row = flat[i]
-            for j in range(flat.shape[1]):
-                vals[j] = (vals[j] << LIMB_BITS) | int(row[j])
-        return vals
+        flat = np.asarray(a.reshape(self.L, -1)).T  # (N, L)
+        n = flat.shape[0]
+        c = flat[:, 0::2] | (flat[:, 1::2] << LIMB_BITS)  # 24-bit chunks
+        u8 = np.empty((n, self.nbytes), np.uint8)
+        u8[:, 0::3] = c & 0xFF
+        u8[:, 1::3] = (c >> 8) & 0xFF
+        u8[:, 2::3] = (c >> 16) & 0xFF
+        raw = u8.tobytes()
+        nb = self.nbytes
+        return [
+            int.from_bytes(raw[i * nb : (i + 1) * nb], "little") for i in range(n)
+        ]
 
     def decode_one(self, arr, mont: bool = True) -> int:
         return self.decode(arr.reshape(self.L, 1), mont=mont)[0]

@@ -180,9 +180,20 @@ class EvaluationDomain:
         self.coeffs = self.field.sub(self.coeffs, other.coeffs)
 
 
+def warm_twiddles(field: LimbField, host: PrimeField, exp: int) -> None:
+    """Build twiddle caches outside any jit trace (avoids tracer leaks)."""
+    if exp >= 1:
+        _stage_twiddles(field, host, exp, False)
+        _stage_twiddles(field, host, exp, True)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_ntt(field: LimbField, host: PrimeField, inverse: bool):
-    return jax.jit(lambda x: ntt(field, host, x, inverse))
+    def run(x):
+        warm_twiddles(field, host, x.shape[1].bit_length() - 1)
+        return jax.jit(lambda y: ntt(field, host, y, inverse))(x)
+
+    return run
 
 
 @functools.lru_cache(maxsize=None)
