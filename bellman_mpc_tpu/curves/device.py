@@ -1,0 +1,335 @@
+"""TPU projective curve kernels for G1 (over Fp) and G2 (over Fp2).
+
+Design: points live in homogeneous projective coordinates (X : Y : Z) with
+identity (0 : 1 : 0), and ALL group operations use the Renes–Costello–Batina
+complete addition law for a = 0 short-Weierstrass curves (public formulas,
+eprint 2015/1060, Algs 7 & 9).  Complete formulas are branch-free — identity,
+doubling and generic addition take the same instruction path — which is
+exactly what a traced/vectorized TPU program needs (no data-dependent control
+flow, cf. the reference's branchy Jacobian arithmetic inside the `group`
+crate it depends on).
+
+Coordinates are limb arrays: G1 coordinate = (L, *batch); G2 coordinate =
+(L, 2, *batch) with axis 1 the Fp2 component (so Fp2 mul's three Karatsuba
+sub-products batch through ONE Montgomery multiply on the lane axis).
+
+This module replaces the reference's per-element wNAF scalar multiplication
+(bellman/src/groth16/generator.rs:311-328) and is the substrate for the MSM
+kernel (ops/msm.py), replacing bellman/src/multiexp.rs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import bls12_381 as bc
+from ..fields.limb import LimbField
+from . import host as chost
+
+
+# ------------------------------------------------------------- coordinate ops
+class DevFp:
+    """Fp coordinate ops — thin veneer over LimbField (shape (L, *B))."""
+
+    def __init__(self, field: LimbField, b3: int):
+        self.f = field
+        self.b3 = b3 % field.p
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def mul(self, a, b):
+        return self.f.mul(a, b)
+
+    def neg(self, a):
+        return self.f.neg(a)
+
+    def mul_b3(self, a):
+        return self.f.mul_const(a, self.b3)
+
+    def zero(self, batch):
+        return self.f.zeros(batch)
+
+    def one(self, batch):
+        return self.f.const(1, batch)
+
+    def select(self, cond, a, b):
+        return jnp.where(jnp.asarray(cond)[None], a, b)
+
+    def is_zero(self, a):
+        return self.f.is_zero(a)
+
+    def eq(self, a, b):
+        return self.f.eq(a, b)
+
+    def batch_shape(self, a):
+        return a.shape[1:]
+
+    def inv(self, a):
+        return self.f.inv(a)
+
+    # host <-> device
+    def encode(self, vals: Sequence[int]):
+        return self.f.encode(list(vals))
+
+    def decode(self, arr) -> List[int]:
+        return self.f.decode(arr)
+
+
+class DevFp2:
+    """Fp2 = Fp[u]/(u^2+1) coordinate ops on (L, 2, *B) arrays.
+
+    Karatsuba multiply: the three Fp sub-products are stacked on a single
+    batch axis and go through one Montgomery multiply (3x lane utilization).
+    """
+
+    def __init__(self, field: LimbField, b3c0: int, b3c1: int):
+        self.f = field
+        self.b3c0 = b3c0 % field.p
+        self.b3c1 = b3c1 % field.p
+
+    def add(self, a, b):
+        return self.f.add(a, b)
+
+    def sub(self, a, b):
+        return self.f.sub(a, b)
+
+    def neg(self, a):
+        return self.f.neg(a)
+
+    def mul(self, a, b):
+        f = self.f
+        a0, a1 = a[:, 0], a[:, 1]
+        b0, b1 = b[:, 0], b[:, 1]
+        lhs = jnp.stack([a0, a1, f.add(a0, a1)], axis=1)
+        rhs = jnp.stack([b0, b1, f.add(b0, b1)], axis=1)
+        prod = f.mul(lhs, rhs)  # one batched Montgomery multiply
+        t0, t1, t2 = prod[:, 0], prod[:, 1], prod[:, 2]
+        re = f.sub(t0, t1)
+        im = f.sub(t2, f.add(t0, t1))
+        return jnp.stack([re, im], axis=1)
+
+    def mul_b3(self, a):
+        # (c0 + c1 u) * (b3c0 + b3c1 u)
+        f = self.f
+        a0, a1 = a[:, 0], a[:, 1]
+        re = f.sub(f.mul_const(a0, self.b3c0), f.mul_const(a1, self.b3c1))
+        im = f.add(f.mul_const(a0, self.b3c1), f.mul_const(a1, self.b3c0))
+        return jnp.stack([re, im], axis=1)
+
+    def zero(self, batch):
+        return self.f.zeros((2,) + tuple(batch))
+
+    def one(self, batch):
+        one = self.f.const(1, batch)
+        return jnp.stack([one, self.f.zeros(tuple(batch))], axis=1)
+
+    def select(self, cond, a, b):
+        return jnp.where(jnp.asarray(cond)[None, None], a, b)
+
+    def is_zero(self, a):
+        return jnp.logical_and(self.f.is_zero(a[:, 0]), self.f.is_zero(a[:, 1]))
+
+    def eq(self, a, b):
+        return jnp.logical_and(
+            self.f.eq(a[:, 0], b[:, 0]), self.f.eq(a[:, 1], b[:, 1])
+        )
+
+    def batch_shape(self, a):
+        return a.shape[2:]
+
+    def inv(self, a):
+        # (a0 - a1 u) / (a0^2 + a1^2)
+        f = self.f
+        a0, a1 = a[:, 0], a[:, 1]
+        sq = f.mul(jnp.stack([a0, a1], axis=1), jnp.stack([a0, a1], axis=1))
+        d = f.add(sq[:, 0], sq[:, 1])
+        dinv = f.inv(d)
+        return jnp.stack([f.mul(a0, dinv), f.mul(f.neg(a1), dinv)], axis=1)
+
+    def encode(self, vals: Sequence[Tuple[int, int]]):
+        c0 = self.f.encode([v[0] for v in vals])
+        c1 = self.f.encode([v[1] for v in vals])
+        return jnp.stack([c0, c1], axis=1)
+
+    def decode(self, arr) -> List[Tuple[int, int]]:
+        c0 = self.f.decode(arr[:, 0])
+        c1 = self.f.decode(arr[:, 1])
+        return list(zip(c0, c1))
+
+
+# ---------------------------------------------------------- point arithmetic
+Point = Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]  # (X, Y, Z)
+
+
+def point_identity(ops, batch) -> Point:
+    return (ops.zero(batch), ops.one(batch), ops.zero(batch))
+
+
+def point_add(ops, p: Point, q: Point) -> Point:
+    """Complete addition, RCB15 Algorithm 7 (a=0, 12M + 2m_b3 + 19a)."""
+    X1, Y1, Z1 = p
+    X2, Y2, Z2 = q
+    t0 = ops.mul(X1, X2)
+    t1 = ops.mul(Y1, Y2)
+    t2 = ops.mul(Z1, Z2)
+    t3 = ops.mul(ops.add(X1, Y1), ops.add(X2, Y2))
+    t3 = ops.sub(t3, ops.add(t0, t1))
+    t4 = ops.mul(ops.add(Y1, Z1), ops.add(Y2, Z2))
+    t4 = ops.sub(t4, ops.add(t1, t2))
+    X3 = ops.mul(ops.add(X1, Z1), ops.add(X2, Z2))
+    Y3 = ops.sub(X3, ops.add(t0, t2))
+    X3 = ops.add(t0, t0)
+    t0 = ops.add(X3, t0)
+    t2 = ops.mul_b3(t2)
+    Z3 = ops.add(t1, t2)
+    t1 = ops.sub(t1, t2)
+    Y3 = ops.mul_b3(Y3)
+    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t4, Y3))
+    Y3 = ops.add(ops.mul(t1, Z3), ops.mul(Y3, t0))
+    Z3 = ops.add(ops.mul(Z3, t4), ops.mul(t0, t3))
+    return (X3, Y3, Z3)
+
+
+def point_double(ops, p: Point) -> Point:
+    """Doubling, RCB15 Algorithm 9 (a=0, 6M + 2S-equivalent + m_b3)."""
+    X, Y, Z = p
+    t0 = ops.mul(Y, Y)
+    Z3 = ops.add(t0, t0)
+    Z3 = ops.add(Z3, Z3)
+    Z3 = ops.add(Z3, Z3)
+    t1 = ops.mul(Y, Z)
+    t2 = ops.mul(Z, Z)
+    t2 = ops.mul_b3(t2)
+    X3 = ops.mul(t2, Z3)
+    Y3 = ops.add(t0, t2)
+    Z3 = ops.mul(t1, Z3)
+    t1 = ops.add(t2, t2)
+    t2 = ops.add(t1, t2)
+    t0 = ops.sub(t0, t2)
+    Y3 = ops.mul(t0, Y3)
+    Y3 = ops.add(X3, Y3)
+    t1 = ops.mul(X, Y)
+    X3 = ops.mul(t0, t1)
+    X3 = ops.add(X3, X3)
+    return (X3, Y3, Z3)
+
+
+def point_select(ops, cond, p: Point, q: Point) -> Point:
+    return (
+        ops.select(cond, p[0], q[0]),
+        ops.select(cond, p[1], q[1]),
+        ops.select(cond, p[2], q[2]),
+    )
+
+
+def point_is_identity(ops, p: Point):
+    return ops.is_zero(p[2])
+
+
+def scalar_mul_bits(ops, p: Point, bits: jnp.ndarray) -> Point:
+    """Branchless left-to-right double-and-add.
+
+    `bits` is (nbits, *batch) int32, MSB first; `p` broadcasts over batch.
+    Replaces per-scalar wNAF (generator.rs:311-328) with a vectorized ladder.
+    """
+    nbits = bits.shape[0]
+    batch = bits.shape[1:]
+    acc = point_identity(ops, batch)
+
+    def body(i, acc):
+        acc = point_double(ops, acc)
+        added = point_add(ops, acc, p)
+        return point_select(ops, bits[i] == 1, added, acc)
+
+    return jax.lax.fori_loop(0, nbits, body, acc)
+
+
+def tree_reduce(ops, p: Point) -> Point:
+    """Sum all points along the LAST batch axis (must be a power of two)."""
+    X, Y, Z = p
+    n = X.shape[-1]
+    assert n & (n - 1) == 0
+    while n > 1:
+        half = n // 2
+        left = (X[..., :half], Y[..., :half], Z[..., :half])
+        right = (X[..., half:], Y[..., half:], Z[..., half:])
+        X, Y, Z = point_add(ops, left, right)
+        n = half
+    return (X, Y, Z)
+
+
+def to_affine(ops, p: Point) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(x, y, is_infinity) with batched Fermat inversion of Z."""
+    X, Y, Z = p
+    inf = point_is_identity(ops, p)
+    zsafe = ops.select(inf, ops.one(ops.batch_shape(Z)), Z)
+    zinv = ops.inv(zsafe)
+    return ops.mul(X, zinv), ops.mul(Y, zinv), inf
+
+
+# ----------------------------------------------------------- group instances
+fp_ops = DevFp(bc.fp, 3 * bc.B_G1)  # b3 = 12
+fp2_ops = DevFp2(bc.fp, 12, 12)  # b3 = 12(1+u)
+
+
+class DeviceGroup:
+    """Bundles coordinate ops + host mirror group + codecs for one of G1/G2."""
+
+    def __init__(self, ops, host_group: chost.CurveGroup, name: str):
+        self.ops = ops
+        self.host = host_group
+        self.name = name
+
+    # -- host <-> device point codecs ---------------------------------------
+    def encode_points(self, pts: Sequence[Optional[tuple]]) -> Point:
+        """Host affine points (None = identity) -> projective limb arrays."""
+        if self.name == "G1":
+            xs = [p[0] if p else 0 for p in pts]
+            ys = [p[1] if p else 1 for p in pts]
+        else:
+            xs = [p[0] if p else (0, 0) for p in pts]
+            ys = [p[1] if p else (1, 0) for p in pts]
+        zs_host = [0 if p is None else 1 for p in pts]
+        X = self.ops.encode(xs)
+        Y = self.ops.encode(ys)
+        if self.name == "G1":
+            Z = bc.fp.encode(zs_host)
+        else:
+            Z = self.ops.encode([(z, 0) for z in zs_host])
+        return (X, Y, Z)
+
+    def decode_points(self, p: Point) -> List[Optional[tuple]]:
+        """Projective limb arrays -> host affine points (batched z-inversion)."""
+        x, y, inf = _jit_to_affine(self)(p)
+        xs = self.ops.decode(x)
+        ys = self.ops.decode(y)
+        infs = np.asarray(inf).reshape(-1)
+        return [None if i else (xv, yv) for xv, yv, i in zip(xs, ys, infs)]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_to_affine(group: DeviceGroup):
+    return jax.jit(lambda p: to_affine(group.ops, p))
+
+
+g1_device = DeviceGroup(fp_ops, chost.G1, "G1")
+g2_device = DeviceGroup(fp2_ops, chost.G2, "G2")
+
+
+def scalars_to_bits(scalars: Sequence[int], nbits: int) -> jnp.ndarray:
+    """Host ints -> (nbits, N) int32 bit matrix, MSB first."""
+    n = len(scalars)
+    out = np.zeros((nbits, n), np.int32)
+    for j, s in enumerate(scalars):
+        for i in range(nbits):
+            out[nbits - 1 - i, j] = (s >> i) & 1
+    return jnp.asarray(out)
