@@ -1,0 +1,259 @@
+"""Batched optimal-ate pairing on TPU.
+
+Replaces the reference's `pairing`/`MultiMillerLoop` calls (single-threaded
+host pairings in bellman/src/groth16/verifier.rs:49-56 and the O(CRS-size)
+per-element ceremony checks in bellman/src/groth16/mpc.rs:787-862, 1065-1131)
+with a vectorized Miller loop + final exponentiation over a batch axis — the
+ceremony verification workload (thousands of independent pairing equations)
+is exactly the shape TPUs want.
+
+Construction notes (validated bit-for-bit against the exact host oracle
+curves/pairing_host.py):
+
+  * G2 points stay on the twist E'(Fp2): y^2 = x^3 + 4(1+u).  The Miller
+    variable T is homogeneous projective and is advanced with the SAME
+    branch-free RCB complete add/double formulas used by the curve kernels.
+  * Line functions are evaluated in untwisted form: with w^6 = xi and the
+    untwist (x', y') -> (x'/w^2, y'/w^3), the tangent/secant line at P=(xP,yP)
+    scaled by xi and by the Fp2 denominator (both lie in subfields of Fp12,
+    so the final exponentiation kills them) becomes the sparse element
+        A + B*w^3 + C*w^5,   A,B,C in Fp2
+    with, for doubling at T=(X,Y,Z):
+        A = 2YZ^2 * yP * xi,  B = 3X^3 - 2Y^2 Z,  C = -3X^2 Z * xP
+    and for addition with affine Q=(xQ,yQ):
+        D = X - xQ Z, N = Y - yQ Z,
+        A = D * yP * xi,  B = N xQ - yQ D,  C = -N * xP.
+    In tower coordinates (Fp12 = Fp6[w]/(w^2-v)): w^3 = v*w, w^5 = v^2*w.
+  * The BLS parameter x is negative => conjugate f after the loop.
+  * The loop is segmented into fori_loop doubling runs between the 6 set
+    bits of |x| (static add steps), keeping the traced program small.
+  * Final exponentiation: easy part (p^6-1)(p^2+1) via conjugation/inversion
+    and Frobenius; hard part (p^4-p^2+1)/r as a straight square-and-multiply
+    ladder (cyclotomic-squaring chain is a later optimization).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.device import fp2_ops, point_add, point_double
+from ..fields.bls12_381 import P, R, X, fp
+from . import tower as tw
+
+ABS_X = -X
+# Doubling-run lengths between static add steps (MSB of |x| consumed by the
+# loop initialization T = Q, f = 1).
+_BITS = bin(ABS_X)[3:]
+_RUNS: List[Tuple[int, bool]] = []  # (num doublings, then-add?)
+_count = 0
+for _b in _BITS:
+    _count += 1
+    if _b == "1":
+        _RUNS.append((_count, True))
+        _count = 0
+if _count:
+    _RUNS.append((_count, False))
+
+_HARD_EXP = (P ** 4 - P ** 2 + 1) // R
+
+
+def _stacked(q):
+    """fp2 tuple -> (L, 2, *B) stacked representation for point kernels."""
+    return jnp.stack([q[0], q[1]], axis=1)
+
+
+def _unstacked(s):
+    return (s[:, 0], s[:, 1])
+
+
+def _line_eval(A, B, C, batch):
+    """Sparse line A + B w^3 + C w^5 as a full Fp12 element."""
+    z = tw.fp2_zero(batch)
+    return ((A, z, z), (z, B, C))
+
+
+def _dbl_step(T, xp_neg3, yp_xi2):
+    """Line coefficients for tangent at T, then T <- 2T.
+
+    xp_neg3 = -3*xP (Fp), yp_xi2 = 2*yP (Fp); scalar pre-foldings keep the
+    per-iteration multiply count down.
+    """
+    Xs, Ys, Zs = T
+    Xt, Yt, Zt = _unstacked(Xs), _unstacked(Ys), _unstacked(Zs)
+    X2 = tw.fp2_mul(Xt, Xt)  # X^2
+    Y2 = tw.fp2_mul(Yt, Yt)  # Y^2
+    YZ = tw.fp2_mul(Yt, Zt)  # YZ
+    Z2 = tw.fp2_mul(Zt, Zt)
+    # A = 2YZ^2 yP xi = (YZ * Z) * (2 yP) * xi
+    A = tw.fp2_mul_by_xi(tw.fp2_mul_fp(tw.fp2_mul(YZ, Zt), yp_xi2))
+    # B = 3X^3 - 2Y^2 Z
+    X3 = tw.fp2_mul(X2, Xt)
+    B = tw.fp2_sub(
+        tw.fp2_add(tw.fp2_add(X3, X3), X3),
+        tw.fp2_mul(tw.fp2_add(Y2, Y2), Zt),
+    )
+    # C = -3 X^2 Z xP = (X^2 Z) * (-3 xP)
+    C = tw.fp2_mul_fp(tw.fp2_mul(X2, Zt), xp_neg3)
+    T2 = point_double(fp2_ops, T)
+    return (A, B, C), T2
+
+
+def _add_step(T, Q, xq, yq, xp_neg1, yp):
+    """Line through T and affine Q, then T <- T + Q."""
+    Xs, Ys, Zs = T
+    Xt, Yt, Zt = _unstacked(Xs), _unstacked(Ys), _unstacked(Zs)
+    D = tw.fp2_sub(Xt, tw.fp2_mul(xq, Zt))
+    N = tw.fp2_sub(Yt, tw.fp2_mul(yq, Zt))
+    A = tw.fp2_mul_by_xi(tw.fp2_mul_fp(D, yp))
+    B = tw.fp2_sub(tw.fp2_mul(N, xq), tw.fp2_mul(yq, D))
+    C = tw.fp2_mul_fp(N, xp_neg1)
+    T2 = point_add(fp2_ops, T, Q)
+    return (A, B, C), T2
+
+
+def miller_loop_batch(px, py, qx, qy, mask_valid):
+    """Batched Miller loop f_{|x|,Q}(P), conjugated (x < 0).
+
+    px, py: (L, N) Fp arrays (Montgomery) — affine G1 batch.
+    qx, qy: fp2 tuples — affine G2 batch (on the twist).
+    mask_valid: (N,) bool — False entries yield f = 1 (identity pairs).
+    """
+    batch = px.shape[1:]
+    xp_neg3 = fp.neg(fp.add(fp.add(px, px), px))
+    xp_neg1 = fp.neg(px)
+    yp2 = fp.add(py, py)
+
+    Q_stacked = (
+        _stacked(qx),
+        _stacked(qy),
+        _stacked(tw.fp2_one(batch)),
+    )
+    f = tw.fp12_one(batch)
+    T = Q_stacked
+
+    def one_iter(state):
+        f, T = state
+        f = tw.fp12_square(f)
+        (A, B, C), T = _dbl_step(T, xp_neg3, yp2)
+        f = tw.fp12_mul(f, _line_eval(A, B, C, batch))
+        return (f, T)
+
+    for run_len, then_add in _RUNS:
+        if run_len == 1:
+            f, T = one_iter((f, T))
+        else:
+            f, T = jax.lax.fori_loop(
+                0, run_len, lambda i, s: one_iter(s), (f, T)
+            )
+        if then_add:
+            (A, B, C), T = _add_step(T, Q_stacked, qx, qy, xp_neg1, py)
+            f = tw.fp12_mul(f, _line_eval(A, B, C, batch))
+
+    f = tw.fp12_conj(f)  # x < 0
+    return tw.fp12_select(mask_valid, f, tw.fp12_one(batch))
+
+
+def final_exp_batch(f):
+    """(p^12-1)/r in three classical stages."""
+    # easy part: f^(p^6-1) then ^(p^2+1)
+    f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
+    f2 = tw.fp12_mul(tw.fp12_frobenius2(f1), f1)
+    # hard part ladder
+    bits = jnp.asarray([int(c) for c in bin(_HARD_EXP)[2:]], jnp.int32)
+
+    def body(i, r):
+        r = tw.fp12_square(r)
+        return tw.fp12_select(bits[i] == 1, tw.fp12_mul(r, f2), r)
+
+    batch = f[0][0][0].shape[1:]
+    return jax.lax.fori_loop(0, bits.shape[0], body, tw.fp12_one(batch))
+
+
+# ------------------------------------------------------------------ host APIs
+# Batch sizes are padded up to one of these buckets so every call shape hits
+# a cached XLA executable (pairing programs take minutes to compile on CPU).
+_BATCH_BUCKETS = (8, 32, 128, 512, 2048)
+
+
+def _bucket(n: int) -> int:
+    for b in _BATCH_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // _BATCH_BUCKETS[-1]) * _BATCH_BUCKETS[-1]
+
+
+def _pad(pts, m):
+    return list(pts) + [None] * (m - len(pts))
+
+
+def _encode_g1(pts) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+    xs = [p[0] if p else 0 for p in pts]
+    ys = [p[1] if p else 1 for p in pts]
+    valid = np.asarray([p is not None for p in pts])
+    return fp.encode(xs), fp.encode(ys), valid
+
+
+def _encode_g2(pts):
+    xs = [p[0] if p else (0, 0) for p in pts]
+    ys = [p[1] if p else (1, 0) for p in pts]
+    valid = np.asarray([p is not None for p in pts])
+    return tw.fp2_encode(xs), tw.fp2_encode(ys), valid
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pairing(n: int):
+    def run(px, py, qx, qy, mask):
+        ml = miller_loop_batch(px, py, qx, qy, mask)
+        return final_exp_batch(ml)
+
+    return jax.jit(run)
+
+
+def pairing_batch(g1_pts: Sequence, g2_pts: Sequence):
+    """e(P_i, Q_i) for host affine point lists -> list of host Fp12 values."""
+    n = len(g1_pts)
+    m = _bucket(n)
+    px, py, v1 = _encode_g1(_pad(g1_pts, m))
+    qx, qy, v2 = _encode_g2(_pad(g2_pts, m))
+    mask = jnp.asarray(v1 & v2)
+    out = _jit_pairing(m)(px, py, qx, qy, mask)
+    return tw.fp12_decode(out)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_pairing_eq(n: int):
+    def run(p1x, p1y, q1x, q1y, m1, p2x, p2y, q2x, q2y, m2):
+        ml1 = miller_loop_batch(p1x, p1y, q1x, q1y, m1)
+        ml2 = miller_loop_batch(p2x, p2y, q2x, q2y, m2)
+        f = final_exp_batch(tw.fp12_mul(ml1, ml2))
+        return tw.fp12_is_one(f)
+
+    return jax.jit(run)
+
+
+def pairing_eq_batch(a1, b1, a2, b2) -> np.ndarray:
+    """Vectorized check e(a1_i, b1_i) == e(a2_i, b2_i).
+
+    Computed as fe(ml(a1,b1) * ml(-a2,b2)) == 1 — ONE shared final
+    exponentiation per equation instead of two full pairings (the TPU-side
+    win over the reference's per-element `E::pairing` calls in mpc.rs).
+    """
+    from ..curves.host import G1
+
+    n = len(a1)
+    m = _bucket(n)
+    neg_a2 = [G1.neg(p) for p in a2]
+    p1x, p1y, v1 = _encode_g1(_pad(a1, m))
+    q1x, q1y, w1 = _encode_g2(_pad(b1, m))
+    p2x, p2y, v2 = _encode_g1(_pad(neg_a2, m))
+    q2x, q2y, w2 = _encode_g2(_pad(b2, m))
+    out = _jit_pairing_eq(m)(
+        p1x, p1y, q1x, q1y, jnp.asarray(v1 & w1),
+        p2x, p2y, q2x, q2y, jnp.asarray(v2 & w2),
+    )
+    return np.asarray(out)[:n]

@@ -1,0 +1,43 @@
+"""Device batched pairing vs the exact host oracle."""
+
+import random
+
+import numpy as np
+import pytest
+
+from bellman_mpc_tpu.curves import pairing_host as ph
+from bellman_mpc_tpu.curves.host import G1, G2
+from bellman_mpc_tpu.fields.bls12_381 import R
+from bellman_mpc_tpu.fields.tower import fp12_eq, fp12_pow
+from bellman_mpc_tpu.ops.pairing import pairing_batch, pairing_eq_batch
+
+
+def test_pairing_matches_host_oracle():
+    rng = random.Random(42)
+    scal1 = [1, 2, rng.randrange(1, R)]
+    scal2 = [1, 3, rng.randrange(1, R)]
+    g1s = [G1.mul(G1.generator, s) for s in scal1] + [None]
+    g2s = [G2.mul(G2.generator, s) for s in scal2] + [G2.generator]
+    got = pairing_batch(g1s, g2s)
+    for p, q, g in zip(g1s, g2s, got):
+        want = ph.pairing(p, q)
+        assert fp12_eq(g, want), "device pairing != host oracle"
+
+
+def test_pairing_bilinearity_device():
+    e = pairing_batch([G1.generator], [G2.generator])[0]
+    e35 = pairing_batch([G1.mul(G1.generator, 3)], [G2.mul(G2.generator, 5)])[0]
+    assert fp12_eq(e35, fp12_pow(e, 15))
+
+
+def test_pairing_eq_batch():
+    a = G1.mul(G1.generator, 7)
+    b = G2.mul(G2.generator, 11)
+    # e(7G1, 11G2) == e(77G1, G2) ; e(7G1, 11G2) != e(5G1, G2)
+    eqs = pairing_eq_batch(
+        [a, a, None],
+        [b, b, b],
+        [G1.mul(G1.generator, 77), G1.mul(G1.generator, 5), None],
+        [G2.generator, G2.generator, b],
+    )
+    assert list(eqs) == [True, False, True]
