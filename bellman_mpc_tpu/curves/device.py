@@ -49,6 +49,25 @@ class DevFp:
     def mul(self, a, b):
         return self.f.mul(a, b)
 
+    def mul_many(self, pairs):
+        """k independent products through ONE stacked Montgomery multiply."""
+        lhs = jnp.stack([a for a, _ in pairs], axis=1)
+        rhs = jnp.stack([b for _, b in pairs], axis=1)
+        t = self.f.mul(lhs, rhs)
+        return [t[:, i] for i in range(len(pairs))]
+
+    def b3_element(self, like):
+        """b3 as a multiplicand for mul_many groups."""
+        return jnp.broadcast_to(
+            self.f._bc(
+                jnp.asarray(
+                    self.f._int_to_limbs(self.b3 * self.f.R % self.f.p), jnp.int32
+                ),
+                like,
+            ),
+            like.shape,
+        )
+
     def neg(self, a):
         return self.f.neg(a)
 
@@ -106,16 +125,43 @@ class DevFp2:
         return self.f.neg(a)
 
     def mul(self, a, b):
+        return self.mul_many([(a, b)])[0]
+
+    def mul_many(self, pairs):
+        """k independent Fp2 products via ONE (L, 3k, *B) limb multiply."""
         f = self.f
-        a0, a1 = a[:, 0], a[:, 1]
-        b0, b1 = b[:, 0], b[:, 1]
-        lhs = jnp.stack([a0, a1, f.add(a0, a1)], axis=1)
-        rhs = jnp.stack([b0, b1, f.add(b0, b1)], axis=1)
-        prod = f.mul(lhs, rhs)  # one batched Montgomery multiply
-        t0, t1, t2 = prod[:, 0], prod[:, 1], prod[:, 2]
-        re = f.sub(t0, t1)
-        im = f.sub(t2, f.add(t0, t1))
-        return jnp.stack([re, im], axis=1)
+        lhs, rhs = [], []
+        for a, b in pairs:
+            a0, a1 = a[:, 0], a[:, 1]
+            b0, b1 = b[:, 0], b[:, 1]
+            lhs += [a0, a1, f.add(a0, a1)]
+            rhs += [b0, b1, f.add(b0, b1)]
+        prod = f.mul(jnp.stack(lhs, axis=1), jnp.stack(rhs, axis=1))
+        out = []
+        for i in range(len(pairs)):
+            t0, t1, t2 = prod[:, 3 * i], prod[:, 3 * i + 1], prod[:, 3 * i + 2]
+            out.append(
+                jnp.stack([f.sub(t0, t1), f.sub(t2, f.add(t0, t1))], axis=1)
+            )
+        return out
+
+    def b3_element(self, like):
+        f = self.f
+        c0 = jnp.broadcast_to(
+            f._bc(
+                jnp.asarray(f._int_to_limbs(self.b3c0 * f.R % f.p), jnp.int32),
+                like[:, 0],
+            ),
+            like[:, 0].shape,
+        )
+        c1 = jnp.broadcast_to(
+            f._bc(
+                jnp.asarray(f._int_to_limbs(self.b3c1 * f.R % f.p), jnp.int32),
+                like[:, 0],
+            ),
+            like[:, 0].shape,
+        )
+        return jnp.stack([c0, c1], axis=1)
 
     def mul_b3(self, a):
         # (c0 + c1 u) * (b3c0 + b3c1 u)
@@ -175,52 +221,60 @@ def point_identity(ops, batch) -> Point:
 
 
 def point_add(ops, p: Point, q: Point) -> Point:
-    """Complete addition, RCB15 Algorithm 7 (a=0, 12M + 2m_b3 + 19a)."""
+    """Complete addition, RCB15 Algorithm 7 (a=0, 12M + 2m_b3 + 19a).
+
+    The 12 multiplies + 2 b3-multiplies run as THREE stacked limb multiplies
+    (6 + 2 + 6 lanes) — dependency structure of the formula permits exactly
+    this grouping.
+    """
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    t0 = ops.mul(X1, X2)
-    t1 = ops.mul(Y1, Y2)
-    t2 = ops.mul(Z1, Z2)
-    t3 = ops.mul(ops.add(X1, Y1), ops.add(X2, Y2))
-    t3 = ops.sub(t3, ops.add(t0, t1))
-    t4 = ops.mul(ops.add(Y1, Z1), ops.add(Y2, Z2))
-    t4 = ops.sub(t4, ops.add(t1, t2))
-    X3 = ops.mul(ops.add(X1, Z1), ops.add(X2, Z2))
-    Y3 = ops.sub(X3, ops.add(t0, t2))
-    X3 = ops.add(t0, t0)
-    t0 = ops.add(X3, t0)
-    t2 = ops.mul_b3(t2)
-    Z3 = ops.add(t1, t2)
-    t1 = ops.sub(t1, t2)
-    Y3 = ops.mul_b3(Y3)
-    X3 = ops.sub(ops.mul(t3, t1), ops.mul(t4, Y3))
-    Y3 = ops.add(ops.mul(t1, Z3), ops.mul(Y3, t0))
-    Z3 = ops.add(ops.mul(Z3, t4), ops.mul(t0, t3))
-    return (X3, Y3, Z3)
+    t0, t1, t2, m_xy, m_yz, m_xz = ops.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (Z1, Z2),
+            (ops.add(X1, Y1), ops.add(X2, Y2)),
+            (ops.add(Y1, Z1), ops.add(Y2, Z2)),
+            (ops.add(X1, Z1), ops.add(X2, Z2)),
+        ]
+    )
+    t3 = ops.sub(m_xy, ops.add(t0, t1))
+    t4 = ops.sub(m_yz, ops.add(t1, t2))
+    y3_raw = ops.sub(m_xz, ops.add(t0, t2))
+    t0_3 = ops.add(ops.add(t0, t0), t0)
+    b3 = ops.b3_element(t2)
+    t2b, y3b = ops.mul_many([(t2, b3), (y3_raw, b3)])
+    Z3 = ops.add(t1, t2b)
+    t1 = ops.sub(t1, t2b)
+    p1, p2, p3, p4, p5, p6 = ops.mul_many(
+        [
+            (t4, y3b),
+            (t3, t1),
+            (y3b, t0_3),
+            (t1, Z3),
+            (t0_3, t3),
+            (Z3, t4),
+        ]
+    )
+    return (ops.sub(p2, p1), ops.add(p4, p3), ops.add(p6, p5))
 
 
 def point_double(ops, p: Point) -> Point:
-    """Doubling, RCB15 Algorithm 9 (a=0, 6M + 2S-equivalent + m_b3)."""
+    """Doubling, RCB15 Algorithm 9 (a=0), in three stacked multiplies."""
     X, Y, Z = p
-    t0 = ops.mul(Y, Y)
-    Z3 = ops.add(t0, t0)
-    Z3 = ops.add(Z3, Z3)
-    Z3 = ops.add(Z3, Z3)
-    t1 = ops.mul(Y, Z)
-    t2 = ops.mul(Z, Z)
-    t2 = ops.mul_b3(t2)
-    X3 = ops.mul(t2, Z3)
-    Y3 = ops.add(t0, t2)
-    Z3 = ops.mul(t1, Z3)
-    t1 = ops.add(t2, t2)
-    t2 = ops.add(t1, t2)
-    t0 = ops.sub(t0, t2)
-    Y3 = ops.mul(t0, Y3)
-    Y3 = ops.add(X3, Y3)
-    t1 = ops.mul(X, Y)
-    X3 = ops.mul(t0, t1)
-    X3 = ops.add(X3, X3)
-    return (X3, Y3, Z3)
+    t0, t1, t2_raw, txy = ops.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
+    (t2,) = ops.mul_many([(t2_raw, ops.b3_element(t2_raw))])
+    z3_8y2 = ops.add(ops.add(t0, t0), ops.add(t0, t0))
+    z3_8y2 = ops.add(z3_8y2, z3_8y2)  # 8 Y^2
+    y3_mid = ops.add(t0, t2)
+    t0_adj = ops.sub(t0, ops.add(ops.add(t2, t2), t2))  # t0 - 3 t2
+    x3p, z3p, y3p, x3q = ops.mul_many(
+        [(t2, z3_8y2), (t1, z3_8y2), (t0_adj, y3_mid), (t0_adj, txy)]
+    )
+    X3 = ops.add(x3q, x3q)
+    Y3 = ops.add(x3p, y3p)
+    return (X3, Y3, z3p)
 
 
 def point_select(ops, cond, p: Point, q: Point) -> Point:

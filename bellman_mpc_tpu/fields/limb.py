@@ -42,6 +42,14 @@ def _ceil_even(x: int) -> int:
     return x + (x % 2)
 
 
+@functools.lru_cache(maxsize=1)
+def _flat_carries() -> bool:
+    """True when the default backend prefers the loop-free carry strategy."""
+    import jax as _jax
+
+    return _jax.default_backend() != "cpu"
+
+
 def _jit_method(*static_argnums):
     """jit a method with `self` (and listed extra argnums) static.
 
@@ -108,13 +116,26 @@ class LimbField:
         return self.const(1, batch_shape, mont=True)
 
     # ------------------------------------------------------- carry management
+    # Two interchangeable carry/borrow strategies:
+    #
+    #  * FLAT (TPU): static carry folding + log-depth Hillis-Steele carry
+    #    lookahead — zero control flow, vector-unit friendly, compiles and
+    #    runs well on the TPU toolchain.
+    #  * SCAN (CPU): one tiny lax.scan per chain.  Chosen on the CPU test
+    #    backend because CPU XLA's fusion planner goes superlinear on the
+    #    concatenate-heavy flat graphs (a 20-add chain took 80+ s to
+    #    compile), while small `while` loops stay ~60 ms each.
+    #
+    # The strategy is picked once per process from the default backend.
+
     def propagate(self, t: jnp.ndarray) -> jnp.ndarray:
-        """Sequential carry propagation along the limb axis.
+        """Sequential carry propagation along the limb axis (one lax.scan).
 
         Accepts limbs in (-2^31, 2^31); arithmetic right-shift makes this
-        correct for negative intermediates (e.g. from subtraction).
-        The represented value must fit in L limbs (guaranteed by callers).
+        correct for negative intermediates.  The represented value must fit
+        in the limb count (guaranteed by callers).
         """
+
         def body(carry, limb):
             v = limb + carry
             return v >> LIMB_BITS, v & LIMB_MASK
@@ -122,35 +143,109 @@ class LimbField:
         _, limbs = jax.lax.scan(body, jnp.zeros(t.shape[1:], jnp.int32), t)
         return limbs
 
-    def _sub_limbs(self, x: jnp.ndarray, m: jnp.ndarray):
-        """x - m limb-wise with borrow chain; returns (diff, borrow_out)."""
+    def _fold(self, t: jnp.ndarray, steps: int = 4) -> jnp.ndarray:
+        """Static carry folding: non-negative column sums < 2^30 become
+        digits <= 4096 in `steps` rounds (4 suffices from 2^30; 2 from 2^13).
+        The top carry is provably zero (value fits the limb count)."""
+        zero_head = jnp.zeros_like(t[:1])
+        for _ in range(steps):
+            carry = t >> LIMB_BITS
+            t = (t & LIMB_MASK) + jnp.concatenate(
+                [zero_head, carry[:-1]], axis=0
+            )
+        return t
+
+    def _carry_scan(self, g: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        """Inclusive prefix of the carry/borrow monoid along the limb axis.
+
+        g = "generates", p = "propagates"; returns per-limb carry-out flags.
+        log2(L) flat shift-combine steps (no data-dependent control flow).
+        """
+        n = g.shape[0]
+        shift = 1
+        while shift < n:
+            pad_g = jnp.zeros_like(g[:shift])
+            pad_p = jnp.ones_like(p[:shift])
+            g_lo = jnp.concatenate([pad_g, g[:-shift]], axis=0)
+            p_lo = jnp.concatenate([pad_p, p[:-shift]], axis=0)
+            g = g | (p & g_lo)
+            p = p & p_lo
+            shift *= 2
+        return g
+
+    def _normalize(self, t: jnp.ndarray) -> jnp.ndarray:
+        """Digits <= 4096 -> canonical digits < 4096 (same value)."""
+        g = t >= (1 << LIMB_BITS)
+        p = t == LIMB_MASK
+        carry_out = self._carry_scan(g, p)
+        carry_in = jnp.concatenate(
+            [jnp.zeros_like(carry_out[:1]), carry_out[:-1]], axis=0
+        ).astype(jnp.int32)
+        return (t + carry_in) & LIMB_MASK
+
+    def _sub_flat(self, x: jnp.ndarray, m: jnp.ndarray):
+        """x - m with borrow lookahead; returns (diff digits, total_borrow).
+
+        Expects canonical digits on both sides; diff is only meaningful when
+        total_borrow is false.
+        """
+        if m.ndim == 1:
+            m = jnp.broadcast_to(self._bc(m, x), x.shape)
+        d = x - m
+        g = d < 0
+        p = d == 0
+        borrow_out = self._carry_scan(g, p)
+        borrow_in = jnp.concatenate(
+            [jnp.zeros_like(borrow_out[:1]), borrow_out[:-1]], axis=0
+        ).astype(jnp.int32)
+        return (d - borrow_in) & LIMB_MASK, borrow_out[-1]
+
+    def _sub_scan(self, x: jnp.ndarray, m: jnp.ndarray):
+        """Scan-based x - m with borrow chain (CPU strategy)."""
+        if m.ndim == 1:
+            m = jnp.broadcast_to(self._bc(m, x), x.shape)
+
         def body(carry, xs):
             xi, mi = xs
             v = xi - mi + carry
             return v >> LIMB_BITS, v & LIMB_MASK
 
         borrow, d = jax.lax.scan(
-            body, jnp.zeros(x.shape[1:], jnp.int32), (x, jnp.broadcast_to(self._bc(m, x), x.shape))
+            body, jnp.zeros(x.shape[1:], jnp.int32), (x, m)
         )
-        return d, borrow
+        return d, borrow != 0
 
     def _cond_sub(self, x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
         """Subtract the (L,) constant m when x >= m (branch-free)."""
-        d, borrow = self._sub_limbs(x, m)
-        return jnp.where(borrow == 0, d, x)
+        sub = self._sub_flat if _flat_carries() else self._sub_scan
+        d, borrow = sub(x, m)
+        return jnp.where(borrow, x, d)
 
     # ------------------------------------------------------------- arithmetic
     @_jit_method()
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        return self._cond_sub(self.propagate(a + b), self.two_p_limbs)
+        if _flat_carries():
+            t = self._normalize(self._fold(a + b, steps=1))
+        else:
+            t = self.propagate(a + b)
+        return self._cond_sub(t, self.two_p_limbs)
 
     @_jit_method()
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        if _flat_carries():
+            # a + (2p - b); b < 2p so the inner subtraction never borrows.
+            twop = jnp.broadcast_to(self._bc(self.two_p_limbs, b), b.shape)
+            nb, _ = self._sub_flat(twop, b)
+            return self.add(a, nb)
         t = a - b + self._bc(self.two_p_limbs, a)
         return self._cond_sub(self.propagate(t), self.two_p_limbs)
 
     @_jit_method()
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
+        if _flat_carries():
+            twop = jnp.broadcast_to(self._bc(self.two_p_limbs, a), a.shape)
+            t, _ = self._sub_flat(twop, a)
+            return self._cond_sub(t, self.two_p_limbs)
         t = self._bc(self.two_p_limbs, a) - a
         return self._cond_sub(self.propagate(t), self.two_p_limbs)
 
@@ -193,7 +288,11 @@ class LimbField:
             0, L, red_body, (jnp.zeros(batch, jnp.int32), t)
         )
         r = t[L:].at[0].add(carry)
-        return self._cond_sub(self.propagate(r), self.two_p_limbs)
+        # Montgomery output is provably < 2p (4p < R), so no conditional
+        # subtraction — just flatten the carries into canonical digits.
+        if _flat_carries():
+            return self._normalize(self._fold(r, steps=4))
+        return self.propagate(r)
 
     @_jit_method()
     def square(self, a: jnp.ndarray) -> jnp.ndarray:

@@ -94,10 +94,25 @@ class Bls12Engine(Engine):
         self.g2 = _BlsGroup(g2_device, "G2")
 
     def multi_miller_loop(self, terms):
+        terms = [(p, q) for p, q in terms if p is not None and q is not None]
+        if len(terms) >= _MSM_DEVICE_THRESHOLD:
+            # Device batch: all Miller loops at once, product on host.
+            from ..ops.pairing import miller_loop_batch, _encode_g1, _encode_g2, _bucket, _pad
+            from ..ops import tower as dtw
+            import jax
+            import jax.numpy as jnp
+
+            m = _bucket(len(terms))
+            px, py, v1 = _encode_g1(_pad([t[0] for t in terms], m))
+            qx, qy, v2 = _encode_g2(_pad([t[1] for t in terms], m))
+            out = jax.jit(miller_loop_batch)(px, py, qx, qy, jnp.asarray(v1 & v2))
+            vals = dtw.fp12_decode(out)[: len(terms)]
+            acc = FP12_ONE
+            for v in vals:
+                acc = fp12_mul(acc, v)
+            return acc
         acc = FP12_ONE
         for p, q in terms:
-            if p is None or q is None:
-                continue
             acc = fp12_mul(acc, ph.miller_loop(p, q))
         return acc
 
@@ -106,6 +121,11 @@ class Bls12Engine(Engine):
 
     def gt_eq(self, a, b) -> bool:
         return fp12_eq(a, b)
+
+    def gt_is_one(self, a) -> bool:
+        from ..fields.tower import fp12_is_one
+
+        return fp12_is_one(a)
 
 
 BLS12_381 = Bls12Engine()

@@ -105,6 +105,10 @@ class Engine:
     def gt_eq(self, a, b) -> bool:
         raise NotImplementedError
 
+    def gt_is_one(self, a) -> bool:
+        """Is `a` the identity of Gt (mirrors E::Gt::identity())."""
+        raise NotImplementedError
+
     def prepare_g2(self, q):
         """Hook mirroring G2Prepared (identity transform by default)."""
         return q
@@ -160,6 +164,10 @@ class DummyEngine(Engine):
 
     def gt_eq(self, a, b) -> bool:
         return (a - b) % self.fr_host.p == 0
+
+    def gt_is_one(self, a) -> bool:
+        # Dummy Gt is (Fr, +): identity is 0 (dummy_engine.rs Group impl).
+        return a % self.fr_host.p == 0
 
 
 DUMMY = DummyEngine()

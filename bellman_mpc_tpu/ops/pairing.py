@@ -80,25 +80,23 @@ def _line_eval(A, B, C, batch):
 def _dbl_step(T, xp_neg3, yp_xi2):
     """Line coefficients for tangent at T, then T <- 2T.
 
-    xp_neg3 = -3*xP (Fp), yp_xi2 = 2*yP (Fp); scalar pre-foldings keep the
-    per-iteration multiply count down.
+    xp_neg3 = -3*xP (Fp), yp_xi2 = 2*yP (Fp); the step's Fp2 products run as
+    two stacked multiplies, the point update as three (point_double).
     """
     Xs, Ys, Zs = T
     Xt, Yt, Zt = _unstacked(Xs), _unstacked(Ys), _unstacked(Zs)
-    X2 = tw.fp2_mul(Xt, Xt)  # X^2
-    Y2 = tw.fp2_mul(Yt, Yt)  # Y^2
-    YZ = tw.fp2_mul(Yt, Zt)  # YZ
-    Z2 = tw.fp2_mul(Zt, Zt)
-    # A = 2YZ^2 yP xi = (YZ * Z) * (2 yP) * xi
-    A = tw.fp2_mul_by_xi(tw.fp2_mul_fp(tw.fp2_mul(YZ, Zt), yp_xi2))
-    # B = 3X^3 - 2Y^2 Z
-    X3 = tw.fp2_mul(X2, Xt)
-    B = tw.fp2_sub(
-        tw.fp2_add(tw.fp2_add(X3, X3), X3),
-        tw.fp2_mul(tw.fp2_add(Y2, Y2), Zt),
+    X2, Y2, YZ = tw.fp2_mul_many([(Xt, Xt), (Yt, Yt), (Yt, Zt)])
+    X3, Y2Z2, X2Z, YZZ = tw.fp2_mul_many(
+        [
+            (X2, Xt),
+            (tw.fp2_add(Y2, Y2), Zt),
+            (X2, Zt),
+            (YZ, Zt),
+        ]
     )
-    # C = -3 X^2 Z xP = (X^2 Z) * (-3 xP)
-    C = tw.fp2_mul_fp(tw.fp2_mul(X2, Zt), xp_neg3)
+    A = tw.fp2_mul_by_xi(tw.fp2_mul_fp(YZZ, yp_xi2))
+    B = tw.fp2_sub(tw.fp2_add(tw.fp2_add(X3, X3), X3), Y2Z2)
+    C = tw.fp2_mul_fp(X2Z, xp_neg3)
     T2 = point_double(fp2_ops, T)
     return (A, B, C), T2
 
@@ -107,10 +105,12 @@ def _add_step(T, Q, xq, yq, xp_neg1, yp):
     """Line through T and affine Q, then T <- T + Q."""
     Xs, Ys, Zs = T
     Xt, Yt, Zt = _unstacked(Xs), _unstacked(Ys), _unstacked(Zs)
-    D = tw.fp2_sub(Xt, tw.fp2_mul(xq, Zt))
-    N = tw.fp2_sub(Yt, tw.fp2_mul(yq, Zt))
+    xqZ, yqZ = tw.fp2_mul_many([(xq, Zt), (yq, Zt)])
+    D = tw.fp2_sub(Xt, xqZ)
+    N = tw.fp2_sub(Yt, yqZ)
+    Nxq, yqD = tw.fp2_mul_many([(N, xq), (yq, D)])
     A = tw.fp2_mul_by_xi(tw.fp2_mul_fp(D, yp))
-    B = tw.fp2_sub(tw.fp2_mul(N, xq), tw.fp2_mul(yq, D))
+    B = tw.fp2_sub(Nxq, yqD)
     C = tw.fp2_mul_fp(N, xp_neg1)
     T2 = point_add(fp2_ops, T, Q)
     return (A, B, C), T2

@@ -41,15 +41,31 @@ def fp2_conj(a):
     return (a[0], F.neg(a[1]))
 
 
-def fp2_mul(a, b):
-    # Karatsuba over one stacked Montgomery multiply (3x lane batching).
-    a0, a1 = a
-    b0, b1 = b
-    lhs = jnp.stack([a0, a1, F.add(a0, a1)], axis=1)
-    rhs = jnp.stack([b0, b1, F.add(b0, b1)], axis=1)
+def fp2_mul_many(pairs):
+    """Multiply many independent Fp2 pairs through ONE Montgomery multiply.
+
+    Each Fp2 product is 3 Karatsuba Fp sub-products; stacking every pair's
+    sub-products on one batch axis turns k Fp2 multiplies into a single
+    (L, 3k, *B) limb multiply — the key lever for both XLA compile time
+    (one `while` chain instead of 3k) and TPU lane utilization.
+    """
+    k = len(pairs)
+    lhs = jnp.stack(
+        [x for (a, b) in pairs for x in (a[0], a[1], F.add(a[0], a[1]))], axis=1
+    )
+    rhs = jnp.stack(
+        [x for (a, b) in pairs for x in (b[0], b[1], F.add(b[0], b[1]))], axis=1
+    )
     t = F.mul(lhs, rhs)
-    t0, t1, t2 = t[:, 0], t[:, 1], t[:, 2]
-    return (F.sub(t0, t1), F.sub(t2, F.add(t0, t1)))
+    out = []
+    for i in range(k):
+        t0, t1, t2 = t[:, 3 * i], t[:, 3 * i + 1], t[:, 3 * i + 2]
+        out.append((F.sub(t0, t1), F.sub(t2, F.add(t0, t1))))
+    return out
+
+
+def fp2_mul(a, b):
+    return fp2_mul_many([(a, b)])[0]
 
 
 def fp2_square(a):
@@ -122,26 +138,30 @@ def fp6_neg(a):
     return tuple(fp2_neg(x) for x in a)
 
 
-def fp6_mul(a, b):
+def _fp6_mul_pairs(a, b):
+    """The 6 Karatsuba Fp2 sub-products of one Fp6 multiply."""
     a0, a1, a2 = a
     b0, b1, b2 = b
-    t0 = fp2_mul(a0, b0)
-    t1 = fp2_mul(a1, b1)
-    t2 = fp2_mul(a2, b2)
-    c0 = fp2_add(
-        t0,
-        fp2_mul_by_xi(
-            fp2_sub(fp2_mul(fp2_add(a1, a2), fp2_add(b1, b2)), fp2_add(t1, t2))
-        ),
-    )
-    c1 = fp2_add(
-        fp2_sub(fp2_mul(fp2_add(a0, a1), fp2_add(b0, b1)), fp2_add(t0, t1)),
-        fp2_mul_by_xi(t2),
-    )
-    c2 = fp2_add(
-        fp2_sub(fp2_mul(fp2_add(a0, a2), fp2_add(b0, b2)), fp2_add(t0, t2)), t1
-    )
+    return [
+        (a0, b0),
+        (a1, b1),
+        (a2, b2),
+        (fp2_add(a1, a2), fp2_add(b1, b2)),
+        (fp2_add(a0, a1), fp2_add(b0, b1)),
+        (fp2_add(a0, a2), fp2_add(b0, b2)),
+    ]
+
+
+def _fp6_mul_combine(products):
+    t0, t1, t2, m12, m01, m02 = products
+    c0 = fp2_add(t0, fp2_mul_by_xi(fp2_sub(m12, fp2_add(t1, t2))))
+    c1 = fp2_add(fp2_sub(m01, fp2_add(t0, t1)), fp2_mul_by_xi(t2))
+    c2 = fp2_add(fp2_sub(m02, fp2_add(t0, t2)), t1)
     return (c0, c1, c2)
+
+
+def fp6_mul(a, b):
+    return _fp6_mul_combine(fp2_mul_many(_fp6_mul_pairs(a, b)))
 
 
 def fp6_mul_by_v(a):
@@ -150,15 +170,16 @@ def fp6_mul_by_v(a):
 
 def fp6_inv(a):
     a0, a1, a2 = a
-    c0 = fp2_sub(fp2_square(a0), fp2_mul_by_xi(fp2_mul(a1, a2)))
-    c1 = fp2_sub(fp2_mul_by_xi(fp2_square(a2)), fp2_mul(a0, a1))
-    c2 = fp2_sub(fp2_square(a1), fp2_mul(a0, a2))
-    t = fp2_add(
-        fp2_mul(a0, c0),
-        fp2_mul_by_xi(fp2_add(fp2_mul(a1, c2), fp2_mul(a2, c1))),
+    s00, s12, s22, s01, s11, s02 = fp2_mul_many(
+        [(a0, a0), (a1, a2), (a2, a2), (a0, a1), (a1, a1), (a0, a2)]
     )
+    c0 = fp2_sub(s00, fp2_mul_by_xi(s12))
+    c1 = fp2_sub(fp2_mul_by_xi(s22), s01)
+    c2 = fp2_sub(s11, s02)
+    p0, p1, p2 = fp2_mul_many([(a0, c0), (a1, c2), (a2, c1)])
+    t = fp2_add(p0, fp2_mul_by_xi(fp2_add(p1, p2)))
     tinv = fp2_inv(t)
-    return (fp2_mul(c0, tinv), fp2_mul(c1, tinv), fp2_mul(c2, tinv))
+    return tuple(fp2_mul_many([(c0, tinv), (c1, tinv), (c2, tinv)]))
 
 
 def fp6_zero(batch):
@@ -175,12 +196,18 @@ def fp12_add(a, b):
 
 
 def fp12_mul(a, b):
-    t0 = fp6_mul(a[0], b[0])
-    t1 = fp6_mul(a[1], b[1])
-    c0 = fp6_add(t0, fp6_mul_by_v(t1))
-    c1 = fp6_sub(
-        fp6_mul(fp6_add(a[0], a[1]), fp6_add(b[0], b[1])), fp6_add(t0, t1)
+    """Full Fp12 multiply as ONE stacked Montgomery multiply (54 products)."""
+    pairs = (
+        _fp6_mul_pairs(a[0], b[0])
+        + _fp6_mul_pairs(a[1], b[1])
+        + _fp6_mul_pairs(fp6_add(a[0], a[1]), fp6_add(b[0], b[1]))
     )
+    prods = fp2_mul_many(pairs)
+    t0 = _fp6_mul_combine(prods[0:6])
+    t1 = _fp6_mul_combine(prods[6:12])
+    m = _fp6_mul_combine(prods[12:18])
+    c0 = fp6_add(t0, fp6_mul_by_v(t1))
+    c1 = fp6_sub(m, fp6_add(t0, t1))
     return (c0, c1)
 
 
@@ -193,8 +220,12 @@ def fp12_conj(a):
 
 
 def fp12_inv(a):
-    t = fp6_inv(fp6_sub(fp6_mul(a[0], a[0]), fp6_mul_by_v(fp6_mul(a[1], a[1]))))
-    return (fp6_mul(a[0], t), fp6_neg(fp6_mul(a[1], t)))
+    sq = fp2_mul_many(_fp6_mul_pairs(a[0], a[0]) + _fp6_mul_pairs(a[1], a[1]))
+    a0sq = _fp6_mul_combine(sq[0:6])
+    a1sq = _fp6_mul_combine(sq[6:12])
+    t = fp6_inv(fp6_sub(a0sq, fp6_mul_by_v(a1sq)))
+    pr = fp2_mul_many(_fp6_mul_pairs(a[0], t) + _fp6_mul_pairs(a[1], t))
+    return (_fp6_mul_combine(pr[0:6]), fp6_neg(_fp6_mul_combine(pr[6:12])))
 
 
 def fp12_one(batch):
@@ -248,39 +279,56 @@ _XI = (1, 1)
 _G = [ht.fp2_pow(_XI, k * (P - 1) // 6) for k in range(6)]
 
 
-def _frob_fp2(a, const):
-    """conj(a) * const for a host Fp2 constant."""
-    return fp2_mul_const(fp2_conj(a), const[0], const[1])
+def _const_fp2(c, like):
+    """A host Fp2 constant as a broadcast device element (for mul_many)."""
+    def enc(v):
+        return jnp.broadcast_to(
+            F._bc(
+                jnp.asarray(F._int_to_limbs(v % P * F.R % P), jnp.int32), like
+            ),
+            like.shape,
+        )
+
+    return (enc(c[0]), enc(c[1]))
+
+
+_FROB1_CONSTS = [
+    _G[2],
+    _G[4],
+    _G[1],
+    ht.fp2_mul(_G[1], _G[2]),
+    ht.fp2_mul(_G[1], _G[4]),
+]
+_G2C = [ht.fp2_pow(_XI, k * (P * P - 1) // 6) for k in range(6)]
+_FROB2_CONSTS = [
+    _G2C[2],
+    _G2C[4],
+    _G2C[1],
+    ht.fp2_mul(_G2C[1], _G2C[2]),
+    ht.fp2_mul(_G2C[1], _G2C[4]),
+]
 
 
 def fp12_frobenius(a):
-    """x -> x^p."""
+    """x -> x^p: conjugate coefficients, scale by gamma constants —
+    one stacked multiply for all five scaled coefficients."""
     (a0, a1, a2), (b0, b1, b2) = a
-    na = (
-        fp2_conj(a0),
-        _frob_fp2(a1, _G[2]),
-        _frob_fp2(a2, _G[4]),
+    like = a0[0]
+    elems = [fp2_conj(x) for x in (a1, a2, b0, b1, b2)]
+    prods = fp2_mul_many(
+        [(e, _const_fp2(c, like)) for e, c in zip(elems, _FROB1_CONSTS)]
     )
-    nb = (
-        _frob_fp2(b0, _G[1]),
-        _frob_fp2(b1, ht.fp2_mul(_G[1], _G[2])),
-        _frob_fp2(b2, ht.fp2_mul(_G[1], _G[4])),
-    )
-    return (na, nb)
+    return ((fp2_conj(a0), prods[0], prods[1]), (prods[2], prods[3], prods[4]))
 
 
 def fp12_frobenius2(a):
-    """x -> x^(p^2): coefficients scaled by real constants (no conjugation)."""
-    g = [ht.fp2_pow(_XI, k * (P * P - 1) // 6) for k in range(6)]
+    """x -> x^(p^2): real constants, no conjugation."""
     (a0, a1, a2), (b0, b1, b2) = a
-    na = (
-        a0,
-        fp2_mul_const(a1, g[2][0], g[2][1]),
-        fp2_mul_const(a2, g[4][0], g[4][1]),
+    like = a0[0]
+    prods = fp2_mul_many(
+        [
+            (e, _const_fp2(c, like))
+            for e, c in zip((a1, a2, b0, b1, b2), _FROB2_CONSTS)
+        ]
     )
-    nb = (
-        fp2_mul_const(b0, g[1][0], g[1][1]),
-        fp2_mul_const(b1, ht.fp2_mul(g[1], g[2])[0], ht.fp2_mul(g[1], g[2])[1]),
-        fp2_mul_const(b2, ht.fp2_mul(g[1], g[4])[0], ht.fp2_mul(g[1], g[4])[1]),
-    )
-    return (na, nb)
+    return ((a0, prods[0], prods[1]), (prods[2], prods[3], prods[4]))

@@ -1,0 +1,264 @@
+"""Batched Groth16 proving: the entire hot path in ONE jitted device program.
+
+The reference prover runs, per proof, 7 FFT passes and 6 Pippenger MSMs on a
+thread pool (bellman/src/groth16/prover.rs:210-343).  Here the same pipeline
+is a single XLA program over a *batch axis of proofs* B:
+
+    (a, b, c) per-constraint evaluations  (L, B, m)   [Montgomery limbs]
+      -> vmapped h(x) coset pipeline      (7 NTTs, fused)
+      -> on-device bit decomposition of h and witness scalars
+      -> 6 MSMs against baked CRS limb tensors (bases broadcast over B)
+      -> proof assembly A = alpha + A(tau) + r*delta, ... (RCB point ops)
+      -> batched to-affine
+
+Density bookkeeping (multiexp.rs:88-157) is resolved at build time from a
+template synthesis: the CRS slices are gathered into dense base tensors and
+witness-index maps once per (circuit, params), so the runtime step is pure
+static-shape tensor code.  Sharding: the B axis is the data-parallel axis;
+the MSM base axis N can additionally be sharded over the "model" mesh axis
+(see parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves.device import (
+    DeviceGroup,
+    g1_device,
+    g2_device,
+    point_add,
+    point_select,
+    point_identity,
+    scalar_mul_bits,
+    scalars_to_bits,
+    tree_reduce,
+)
+from ..fields import bls12_381 as bc
+from ..fields.limb import LIMB_BITS, LimbField
+from ..groth16.prover import DETERMINISTIC_R, DETERMINISTIC_S, _h_pipeline
+from ..groth16.types import Parameters, Proof
+from ..ops.domain import domain_size_for, warm_twiddles
+from ..r1cs.core import Circuit
+
+NBITS = 255  # Fr scalar bits fed to ladders
+
+
+def bits_from_mont(field: LimbField, x: jnp.ndarray) -> jnp.ndarray:
+    """(L, *S) Montgomery limbs -> (NBITS, *S) bits, MSB first, on device."""
+    std = field.canon(field.mul(x, field._bc(field.one_limbs, x)))  # from Mont
+    shifts = jnp.arange(LIMB_BITS, dtype=jnp.int32).reshape(
+        (1, LIMB_BITS) + (1,) * (std.ndim - 1)
+    )
+    bits = (std[:, None] >> shifts) & 1  # (L, 12, *S) LSB-first per limb
+    flat = bits.reshape((field.L * LIMB_BITS,) + std.shape[1:])
+    return flat[NBITS - 1 :: -1]  # restrict to NBITS and flip to MSB-first
+
+
+def _pad_pow2_int(n: int) -> int:
+    m = 1
+    while m < max(n, 1):
+        m *= 2
+    return m
+
+
+class BatchProver:
+    """Per-(circuit, params) compiled batched prover."""
+
+    def __init__(self, engine, params: Parameters, circuit_template: Circuit):
+        from ..groth16.prover import synthesize_witness
+
+        assert engine.name == "bls12_381"
+        self.engine = engine
+        self.fr = engine.fr
+        self.params = params
+
+        # Template synthesis fixes sizes, density maps and domain shape.
+        tpl = synthesize_witness(engine, circuit_template)
+        self.num_inputs = len(tpl.input_assignment)
+        self.num_aux = len(tpl.aux_assignment)
+        self.num_constraints = len(tpl.a)
+        self.m, self.exp = domain_size_for(self.num_constraints, engine.fr_host)
+        self.a_aux_density = list(tpl.a_aux_density.bv)
+        self.b_input_density = list(tpl.b_input_density.bv)
+        self.b_aux_density = list(tpl.b_aux_density.bv)
+
+        # Dense scalar index maps (positions into [inputs..., aux...]).
+        self.a_aux_idx = [i for i, d in enumerate(self.a_aux_density) if d]
+        self.b_in_idx = [i for i, d in enumerate(self.b_input_density) if d]
+        self.b_aux_idx = [i for i, d in enumerate(self.b_aux_density) if d]
+
+        # Baked CRS tensors, padded to powers of two with identities.
+        def bake(group: DeviceGroup, pts, n_logical):
+            n = _pad_pow2_int(n_logical)
+            return group.encode_points(list(pts) + [None] * (n - len(pts)))
+
+        self.h_n = _pad_pow2_int(self.m - 1)
+        self.crs_h = bake(g1_device, params.h, self.m - 1)
+        self.crs_l = bake(g1_device, params.l, self.num_aux)
+        a_in, a_aux = params.get_a(self.num_inputs)
+        self.crs_a_in = bake(g1_device, a_in, self.num_inputs)
+        self.crs_a_aux = bake(g1_device, a_aux, len(self.a_aux_idx))
+        b1_in, b1_aux = params.get_b_g1(len(self.b_in_idx))
+        b2_in, b2_aux = params.get_b_g2(len(self.b_in_idx))
+        self.crs_b1_in = bake(g1_device, b1_in, len(self.b_in_idx))
+        self.crs_b1_aux = bake(g1_device, b1_aux, len(self.b_aux_idx))
+        self.crs_b2_in = bake(g2_device, b2_in, len(self.b_in_idx))
+        self.crs_b2_aux = bake(g2_device, b2_aux, len(self.b_aux_idx))
+
+        # vk points + deterministic-blinding precomputations (host points).
+        vk = params.vk
+        hostg1, hostg2 = g1_device.host, g2_device.host
+        r, s = DETERMINISTIC_R, DETERMINISTIC_S
+        self.r, self.s = r, s
+        self.ga_const = g1_device.encode_points(
+            [hostg1.add(hostg1.mul(vk.delta_g1, r), vk.alpha_g1)]
+        )
+        self.gb_const = g2_device.encode_points(
+            [hostg2.add(hostg2.mul(vk.delta_g2, s), vk.beta_g2)]
+        )
+        gc = hostg1.add(
+            hostg1.mul(vk.delta_g1, r * s % bc.R),
+            hostg1.add(hostg1.mul(vk.alpha_g1, s), hostg1.mul(vk.beta_g1, r)),
+        )
+        self.gc_const = g1_device.encode_points([gc])
+        self.s_bits = scalars_to_bits([s], NBITS)[:, 0]
+        self.r_bits = scalars_to_bits([r], NBITS)[:, 0]
+
+        warm_twiddles(self.fr, engine.fr_host, self.exp)
+        from ..groth16.compiled import CompiledCircuit
+
+        self.compiled = CompiledCircuit(engine, circuit_template)
+        self._step = self._build_step()
+
+    # ------------------------------------------------------------------ step
+    def _build_step(self):
+        fr = self.fr
+        host = self.engine.fr_host
+        pipeline = _h_pipeline(fr, host, self.exp)
+        g1o, g2o = g1_device.ops, g2_device.ops
+
+        def pad_scalars(bits, n):
+            # bits: (NBITS, B, k) -> pad k to n with zeros
+            k = bits.shape[-1]
+            if k == n:
+                return bits
+            return jnp.pad(bits, ((0, 0), (0, 0), (0, n - k)))
+
+        def msm(ops, bases, bits):
+            # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
+            P = tuple(c[..., None, :] for c in bases)  # broadcast over B
+            per = scalar_mul_bits(ops, P, bits)
+            return tree_reduce(ops, per)  # (L, [2,] B, 1)
+
+        def step(a, b, c, wit_in, wit_aux):
+            B = a.shape[1]
+            h = jax.vmap(pipeline, in_axes=1, out_axes=1)(a, b, c)
+            h = h[:, :, : self.m - 1]
+
+            bits_h = pad_scalars(bits_from_mont(fr, h), self.h_n)
+            bits_aux = bits_from_mont(fr, wit_aux)
+            bits_in = bits_from_mont(fr, wit_in)
+            bits_a_aux = pad_scalars(
+                bits_aux[:, :, jnp.asarray(self.a_aux_idx, jnp.int32)]
+                if self.a_aux_idx
+                else bits_aux[:, :, :0],
+                self.crs_a_aux[0].shape[-1],
+            )
+            bits_b_in = pad_scalars(
+                bits_in[:, :, jnp.asarray(self.b_in_idx, jnp.int32)]
+                if self.b_in_idx
+                else bits_in[:, :, :0],
+                self.crs_b1_in[0].shape[-1],
+            )
+            bits_b_aux = pad_scalars(
+                bits_aux[:, :, jnp.asarray(self.b_aux_idx, jnp.int32)]
+                if self.b_aux_idx
+                else bits_aux[:, :, :0],
+                self.crs_b1_aux[0].shape[-1],
+            )
+            bits_l = pad_scalars(bits_aux, self.crs_l[0].shape[-1])
+            bits_a_in = pad_scalars(bits_in, self.crs_a_in[0].shape[-1])
+
+            h_pt = msm(g1o, self.crs_h, bits_h)
+            l_pt = msm(g1o, self.crs_l, bits_l)
+            a_in_pt = msm(g1o, self.crs_a_in, bits_a_in)
+            a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux)
+            b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in)
+            b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux)
+            b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in)
+            b2_aux_pt = msm(g2o, self.crs_b2_aux, bits_b_aux)
+
+            a_answer = point_add(g1o, a_in_pt, a_aux_pt)
+            b1_answer = point_add(g1o, b1_in_pt, b1_aux_pt)
+            b2_answer = point_add(g2o, b2_in_pt, b2_aux_pt)
+
+            # broadcast the constant points over the proof batch
+            def bconst(pt):
+                return tuple(
+                    jnp.broadcast_to(c[..., None, :], c.shape[:-1] + (B, 1))
+                    for c in pt
+                )
+
+            g_a = point_add(g1o, bconst(self.ga_const), a_answer)
+            g_b = point_add(g2o, bconst(self.gb_const), b2_answer)
+
+            s_bits = jnp.broadcast_to(
+                self.s_bits[:, None, None], (NBITS, B, 1)
+            )
+            r_bits = jnp.broadcast_to(
+                self.r_bits[:, None, None], (NBITS, B, 1)
+            )
+            a_s = scalar_mul_bits(g1o, a_answer, s_bits)
+            b1_r = scalar_mul_bits(g1o, b1_answer, r_bits)
+            g_c = point_add(g1o, bconst(self.gc_const), a_s)
+            g_c = point_add(g1o, g_c, b1_r)
+            g_c = point_add(g1o, g_c, h_pt)
+            g_c = point_add(g1o, g_c, l_pt)
+
+            return g_a, g_b, g_c
+
+        self._step_fn = step
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- host APIs
+    def encode_witness(self, provers) -> Tuple[jnp.ndarray, ...]:
+        """Host ProvingAssignments -> device (L, B, *) tensors."""
+        fr = self.fr
+        m = self.m
+
+        def enc(rows: List[List[int]], width: int) -> jnp.ndarray:
+            flat = []
+            for row in rows:
+                flat.extend(list(row) + [0] * (width - len(row)))
+            arr = fr.encode(flat)  # (L, B*width)
+            return arr.reshape(fr.L, len(rows), width)
+
+        a = enc([p.a for p in provers], m)
+        b = enc([p.b for p in provers], m)
+        c = enc([p.c for p in provers], m)
+        wit_in = enc([p.input_assignment for p in provers], self.num_inputs)
+        wit_aux = enc([p.aux_assignment for p in provers], self.num_aux)
+        return a, b, c, wit_in, wit_aux
+
+    def prove_batch(self, circuits: Sequence[Circuit]) -> List[Proof]:
+        """Host synthesis per circuit + one device step + decode.
+
+        Witness synthesis uses the compiled-circuit fast path (native C
+        LC evaluation; groth16/compiled.py)."""
+        provers = [self.compiled.prove_assignment(c) for c in circuits]
+        a, b, c, wit_in, wit_aux = self.encode_witness(provers)
+        g_a, g_b, g_c = self._step(a, b, c, wit_in, wit_aux)
+        pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
+        pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))
+        pc = g1_device.decode_points(tuple(x[..., 0] for x in g_c))
+        return [Proof(a=x, b=y, c=z) for x, y, z in zip(pa, pb, pc)]
+
+    def run_step(self, *device_args):
+        """Raw jitted step (for benchmarking device-only throughput)."""
+        return self._step(*device_args)

@@ -1,0 +1,118 @@
+"""Benchmark harness — batched MiMC-322 Groth16 proving on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "proofs/sec/chip", "vs_baseline": N}
+
+The canonical benchmark circuit is MiMC LongsightF322p3 (322 rounds, ~1.3k
+constraints) — the same circuit the reference times in its 50-sample
+prove/verify loop (bellman/src/mimc.rs:51-131).  The reference publishes no
+numbers (BASELINE.md); the baseline denominator below is the documented CPU
+estimate for the Rust reference's single-process MiMC-322 proving
+(BASELINE.md "Targets": ~10 proofs/sec on a multicore host CPU).
+
+Progress/diagnostics go to stderr; stdout carries exactly the JSON line.
+"""
+
+import json
+import sys
+import time
+
+BASELINE_PROOFS_PER_SEC = 10.0  # documented CPU-reference denominator
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    t_start = time.time()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+
+    from bellman_mpc_tpu.groth16 import generate_random_parameters
+    from bellman_mpc_tpu.groth16 import prepare_verifying_key, verify_proof
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.groth16.prover import synthesize_witness
+    from bellman_mpc_tpu.models import MiMCDemo, mimc, mimc_constants
+    from bellman_mpc_tpu.parallel import BatchProver
+
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=42)
+
+    log("setup: generating MiMC-322 CRS on device ...")
+    t0 = time.time()
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    log(f"setup done in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    bp = BatchProver(BLS12_381, params, MiMCDemo(constants, 0, 0))
+    log(f"batch prover built in {time.time() - t0:.1f}s")
+
+    B = 16
+    import random
+
+    rng = random.Random(0)
+    witnesses = [(rng.randrange(host.p), rng.randrange(host.p)) for _ in range(B)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in witnesses]
+
+    # Host synthesis + encode (timed separately; compiled fast path).
+    t0 = time.time()
+    provers = [bp.compiled.prove_assignment(c) for c in circuits]
+    t_synth = time.time() - t0
+    t0 = time.time()
+    args = bp.encode_witness(provers)
+    t_encode = time.time() - t0
+    log(f"synthesis {t_synth:.2f}s encode {t_encode:.2f}s for B={B}")
+
+    # Compile + warm up.
+    t0 = time.time()
+    out = bp.run_step(*args)
+    jax.block_until_ready(out)
+    log(f"device step compile+first-run {time.time() - t0:.1f}s")
+
+    # Steady-state device throughput.
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        out = bp.run_step(*args)
+    jax.block_until_ready(out)
+    t_device = (time.time() - t0) / iters
+    log(f"device step steady-state {t_device:.3f}s for B={B}")
+
+    # Decode + verify one proof for sanity.
+    from bellman_mpc_tpu.curves.device import g1_device, g2_device
+    from bellman_mpc_tpu.groth16.types import Proof
+
+    g_a, g_b, g_c = out
+    pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
+    pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))
+    pc = g1_device.decode_points(tuple(x[..., 0] for x in g_c))
+    pvk = prepare_verifying_key(BLS12_381, params.vk)
+    image0 = mimc(host, *witnesses[0], constants)
+    verify_proof(BLS12_381, pvk, Proof(a=pa[0], b=pb[0], c=pc[0]), [image0])
+    log("proof verification: OK")
+
+    # End-to-end throughput (synthesis + encode + device, amortized).
+    e2e_per_proof = (t_synth + t_encode + t_device) / B
+    device_per_proof = t_device / B
+    throughput = 1.0 / e2e_per_proof
+    log(
+        f"e2e {throughput:.2f} proofs/s (device-only {1.0 / device_per_proof:.2f}); "
+        f"total bench wall {time.time() - t_start:.0f}s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "mimc322_batched_proving_throughput",
+                "value": round(throughput, 3),
+                "unit": "proofs/sec/chip",
+                "vs_baseline": round(throughput / BASELINE_PROOFS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

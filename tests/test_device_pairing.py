@@ -1,9 +1,23 @@
-"""Device batched pairing vs the exact host oracle."""
+"""Device batched pairing vs the exact host oracle.
 
+Skipped on the CPU test backend by default: the pairing program's XLA *CPU*
+compile takes many minutes (the TPU toolchain handles it; set
+BMT_TEST_TPU=1 to run this module on the real chip, and the /verify drive
+covers it there).
+"""
+
+import os
 import random
 
 import numpy as np
 import pytest
+
+if not os.environ.get("BMT_TEST_TPU") and not os.environ.get("BMT_SLOW_TESTS"):
+    pytest.skip(
+        "pairing programs compile too slowly on CPU XLA; run with "
+        "BMT_TEST_TPU=1 (real chip) or BMT_SLOW_TESTS=1",
+        allow_module_level=True,
+    )
 
 from bellman_mpc_tpu.curves import pairing_host as ph
 from bellman_mpc_tpu.curves.host import G1, G2
