@@ -78,6 +78,109 @@ def msm_host(group: DeviceGroup, bases: Sequence, scalars: Sequence[int]) -> obj
     return group.decode_points(out)[0]
 
 
+# --------------------------------------------------------------- Pippenger
+def msm_pippenger(ops, points: Point, digits: jnp.ndarray, c: int) -> Point:
+    """Bucket-method MSM recast for a vector machine.
+
+    points: coord tuple, each (L, [2,] N); digits: (W, N) int32 window digits
+    (LSB window first), each in [0, 2^c).  Mirrors the structure of
+    bellman/src/multiexp.rs:159-250 — per-window buckets, summation by
+    parts, fold with c doublings — but every stage is data-parallel:
+
+      * per window: sort points by digit (argsort + gather), bucket sums via
+        a SEGMENTED associative scan whose combine is the complete addition
+        formula, last-of-segment extraction via scatter-max,
+      * weighted bucket fold sum_b b*S_b as a suffix associative scan plus a
+        log-depth reduction (the summation-by-parts identity),
+      * final window fold with c doublings per window.
+    """
+    W, N = digits.shape
+    n_buckets = 1 << c
+
+    perm = jnp.argsort(digits, axis=1)  # (W, N) stable sort per window
+    sorted_digits = jnp.take_along_axis(digits, perm, axis=1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    def window_sum(w):
+        """Bucket-weighted sum for one window (traced once inside fori)."""
+        pw = perm[w]
+        dw = sorted_digits[w]
+        pts = tuple(x[..., pw] for x in points)
+        seg_start = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), dw[1:] != dw[:-1]]
+        )
+        # associative_scan needs equal-rank leaves: lift flags to coord rank.
+        seg_start = seg_start.reshape((1,) * (points[0].ndim - 1) + (N,))
+
+        def combine(a, b):
+            (ax, ay, az, astart) = a
+            (bx, by, bz, bstart) = b
+            summed = point_add(ops, (ax, ay, az), (bx, by, bz))
+            x = jnp.where(bstart, bx, summed[0])
+            y = jnp.where(bstart, by, summed[1])
+            z = jnp.where(bstart, bz, summed[2])
+            return (x, y, z, astart | bstart)
+
+        scan_axis = points[0].ndim - 1
+        sx, sy, sz, _ = jax.lax.associative_scan(
+            combine, (pts[0], pts[1], pts[2], seg_start), axis=scan_axis
+        )
+
+        # last element of each digit's run -> bucket sums S_b
+        last_idx = jnp.zeros(n_buckets, jnp.int32).at[dw].max(idx)
+        present = jnp.zeros(n_buckets, jnp.bool_).at[dw].max(
+            jnp.ones((N,), jnp.bool_)
+        )
+        bucket = (sx[..., last_idx], sy[..., last_idx], sz[..., last_idx])
+        bucket = point_select(
+            ops, present, bucket, point_identity(ops, (n_buckets,))
+        )
+
+        # summation by parts: sum_b b*S_b = (sum_b suffix_b) - suffix_0
+        suffix = jax.lax.associative_scan(
+            lambda a, b: point_add(ops, a, b), bucket, axis=scan_axis, reverse=True
+        )
+        total = tree_reduce(ops, suffix)  # (.., 1): sum_j (j+1) S_j
+        suffix0 = tuple(x[..., :1] for x in suffix)
+        neg_s0 = (suffix0[0], ops.neg(suffix0[1]), suffix0[2])
+        return point_add(ops, total, neg_s0)
+
+    def horner_body(i, res):
+        w = W - 1 - i  # MSB window first
+        for _ in range(c):
+            res = point_double(ops, res)
+        return point_add(ops, res, window_sum(w))
+
+    res0 = point_identity(ops, (1,))
+    return jax.lax.fori_loop(0, W, horner_body, res0)
+
+
+def msm_pippenger_host(
+    group: DeviceGroup, bases: Sequence, scalars: Sequence[int], c: int = 8
+) -> object:
+    """Host-facing Pippenger MSM (pads to powers of two)."""
+    n = len(bases)
+    if n == 0:
+        return None
+    m = _pad_pow2(n)
+    pts = group.encode_points(list(bases) + [None] * (m - n))
+    W = (255 + c - 1) // c
+    digits = np.zeros((W, m), np.int32)
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for w in range(W):
+            digits[w, i] = (s >> (w * c)) & ((1 << c) - 1)
+    out = _jit_msm_pippenger(group, m, W, c)(pts, jnp.asarray(digits))
+    return group.decode_points(out)[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_msm_pippenger(group: DeviceGroup, n: int, w: int, c: int):
+    return jax.jit(
+        lambda pts, digits: msm_pippenger(group.ops, pts, digits, c)
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_batch_mul(group: DeviceGroup, n: int, nbits: int):
     return jax.jit(
