@@ -55,6 +55,96 @@ class AndDemo(Circuit):
         )
 
 
+class RangeDemoExplicit(Circuit):
+    """The stray root-level RangeDemo variant (bellman/range_mod.rs:6-115).
+
+    Not reachable in the reference build (no `mod` declaration — SURVEY.md
+    §2.5), but ported for inventory completeness: identical constraint
+    structure to RangeDemo except the crArray carry chain is an EXPLICIT
+    caller-supplied witness, and `b` is private (no public inputs).
+    """
+
+    def __init__(self, a=None, b=None, n=None, w=None, wArray=None,
+                 less_or_equal=None, less=None, not_all_zeros=None, crArray=None):
+        self.a, self.b, self.n, self.w = a, b, n, w
+        self.wArray, self.crArray = wArray, crArray
+        self.less_or_equal, self.less = less_or_equal, less
+        self.not_all_zeros = not_all_zeros
+
+    def synthesize(self, cs: ConstraintSystem) -> None:
+        w_bits = _need(self.wArray)
+        cr_bits = _need(self.crArray)
+        wArray_var = [
+            cs.alloc(f"wArray {i}", lambda v=wi: v) for i, wi in enumerate(w_bits)
+        ]
+        crArray_var = [
+            cs.alloc(f"crArray {i}", lambda v=ci: v) for i, ci in enumerate(cr_bits)
+        ]
+
+        a = cs.alloc("a", lambda: _need(self.a))
+        b = cs.alloc("b", lambda: _need(self.b))
+        w = cs.alloc("w", lambda: _need(self.w))
+        not_all_zeros = cs.alloc("not_all_zeros", lambda: _need(self.not_all_zeros))
+        less_or_equal = cs.alloc("less_or_equal", lambda: _need(self.less_or_equal))
+        less = cs.alloc("less", lambda: _need(self.less))
+
+        t = 1 << (_need(self.n) - 1)
+        cs.enforce(
+            "w=2^n+b-a",
+            lambda lc: lc + w,
+            lambda lc: lc + cs.one(),
+            lambda lc: lc + (t, cs.one()) + b - a,
+        )
+        lc1 = LinearCombination.zero(cs.field)
+        for i, wv in enumerate(wArray_var):
+            lc1 = lc1 + (1 << i, wv)
+        lc1 = lc1 - w
+        cs.enforce(
+            "2^0*w0+.......-w=0",
+            lambda lc: lc + lc1,
+            lambda lc: lc + cs.one(),
+            lambda lc: lc,
+        )
+        for i, wv in enumerate(wArray_var):
+            cs.enforce(
+                f"w{i}(1-w{i})=0",
+                lambda lc, wv=wv: lc + wv,
+                lambda lc, wv=wv: lc + cs.one() - wv,
+                lambda lc: lc,
+            )
+        cs.enforce(
+            "w0=cr0",
+            lambda lc: lc + wArray_var[0],
+            lambda lc: lc + cs.one(),
+            lambda lc: lc + crArray_var[0],
+        )
+        for i in range(1, len(crArray_var)):
+            cs.enforce(
+                f"(cr_{i - 1}-1)(w{i}-1)=1-cr_{i}",
+                lambda lc, i=i: lc + crArray_var[i - 1] - cs.one(),
+                lambda lc, i=i: lc + wArray_var[i] - cs.one(),
+                lambda lc, i=i: lc + cs.one() - crArray_var[i],
+            )
+        cs.enforce(
+            "not_all_zeros=cr_n",
+            lambda lc: lc + not_all_zeros,
+            lambda lc: lc + cs.one(),
+            lambda lc: lc + crArray_var[-1],
+        )
+        cs.enforce(
+            "wn=less_or_equal*wn",
+            lambda lc: lc + wArray_var[-1],
+            lambda lc: lc + less_or_equal,
+            lambda lc: lc + wArray_var[-1],
+        )
+        cs.enforce(
+            "wn*less_or_equal=less",
+            lambda lc: lc + wArray_var[-1],
+            lambda lc: lc + not_all_zeros,
+            lambda lc: lc + less,
+        )
+
+
 class RangeDemo(Circuit):
     """Binary-decomposition less-than proof (and_mod.rs:148-251).
 

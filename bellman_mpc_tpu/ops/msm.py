@@ -155,6 +155,102 @@ def msm_pippenger(ops, points: Point, digits: jnp.ndarray, c: int) -> Point:
     return jax.lax.fori_loop(0, W, horner_body, res0)
 
 
+def msm_pippenger_batched(ops, points: Point, digits: jnp.ndarray, c: int) -> Point:
+    """Pippenger over a batch of scalar sets sharing one base set.
+
+    points: coord tuple, each (L, [2,] N); digits: (W, B, N).  Used by the
+    batched prover: the CRS bases are shared across the proof batch, each
+    proof brings its own scalars.  Returns (L, [2,] B, 1) points.
+    """
+    W, B, N = digits.shape
+    n_buckets = 1 << c
+    coord_rank = points[0].ndim  # 2 (G1) or 3 (G2)
+
+    perm = jnp.argsort(digits, axis=-1)  # (W, B, N)
+    sorted_digits = jnp.take_along_axis(digits, perm, axis=-1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    def window_sum(w):
+        pw = perm[w]  # (B, N)
+        dw = sorted_digits[w]  # (B, N)
+        pts = tuple(x[..., pw] for x in points)  # (L, [2,] B, N)
+        seg_start = jnp.concatenate(
+            [jnp.ones((B, 1), jnp.bool_), dw[:, 1:] != dw[:, :-1]], axis=1
+        ).reshape((1,) * (coord_rank - 1) + (B, N))
+
+        def combine(a, b):
+            (ax, ay, az, astart) = a
+            (bx, by, bz, bstart) = b
+            summed = point_add(ops, (ax, ay, az), (bx, by, bz))
+            x = jnp.where(bstart, bx, summed[0])
+            y = jnp.where(bstart, by, summed[1])
+            z = jnp.where(bstart, bz, summed[2])
+            return (x, y, z, astart | bstart)
+
+        scan_axis = coord_rank  # trailing N axis of (L, [2,] B, N)
+        sx, sy, sz, _ = jax.lax.associative_scan(
+            combine, (pts[0], pts[1], pts[2], seg_start), axis=scan_axis
+        )
+
+        last_idx = (
+            jnp.zeros((B, n_buckets), jnp.int32)
+            .at[rows[:, None], dw]
+            .max(idx[None, :])
+        )
+        present = (
+            jnp.zeros((B, n_buckets), jnp.bool_)
+            .at[rows[:, None], dw]
+            .max(jnp.ones((B, N), jnp.bool_))
+        )
+
+        def gather_buckets(x):
+            ind = jnp.broadcast_to(
+                last_idx.reshape((1,) * (coord_rank - 1) + (B, n_buckets)),
+                x.shape[:-1] + (n_buckets,),
+            )
+            return jnp.take_along_axis(x, ind, axis=-1)
+
+        bucket = (gather_buckets(sx), gather_buckets(sy), gather_buckets(sz))
+        bucket = point_select(
+            ops, present, bucket, point_identity(ops, (B, n_buckets))
+        )
+
+        suffix = jax.lax.associative_scan(
+            lambda a, b: point_add(ops, a, b), bucket, axis=scan_axis, reverse=True
+        )
+        total = tree_reduce(ops, suffix)  # (L, [2,] B, 1)
+        suffix0 = tuple(x[..., :1] for x in suffix)
+        neg_s0 = (suffix0[0], ops.neg(suffix0[1]), suffix0[2])
+        return point_add(ops, total, neg_s0)
+
+    def horner_body(i, res):
+        w = W - 1 - i
+        for _ in range(c):
+            res = point_double(ops, res)
+        return point_add(ops, res, window_sum(w))
+
+    return jax.lax.fori_loop(0, W, horner_body, point_identity(ops, (B, 1)))
+
+
+def digits_from_bits(bits: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(NBITS, B, N) MSB-first bits -> (W, B, N) LSB-window-first digits."""
+    nbits = bits.shape[0]
+    W = -(-nbits // c)
+    pad = W * c - nbits
+    lsb_first = bits[::-1]
+    if pad:
+        lsb_first = jnp.concatenate(
+            [lsb_first, jnp.zeros((pad,) + bits.shape[1:], bits.dtype)], axis=0
+        )
+    weights = (1 << jnp.arange(c, dtype=jnp.int32)).reshape(
+        (1, c) + (1,) * (bits.ndim - 1)
+    )
+    return jnp.sum(
+        lsb_first.reshape((W, c) + bits.shape[1:]) * weights, axis=1
+    ).astype(jnp.int32)
+
+
 def msm_pippenger_host(
     group: DeviceGroup, bases: Sequence, scalars: Sequence[int], c: int = 8
 ) -> object:

@@ -70,13 +70,28 @@ def _pad_pow2_int(n: int) -> int:
 class BatchProver:
     """Per-(circuit, params) compiled batched prover."""
 
-    def __init__(self, engine, params: Parameters, circuit_template: Circuit):
+    def __init__(
+        self,
+        engine,
+        params: Parameters,
+        circuit_template: Circuit,
+        msm_strategy: str = "auto",
+        pippenger_c: int = 8,
+    ):
         from ..groth16.prover import synthesize_witness
 
         assert engine.name == "bls12_381"
         self.engine = engine
         self.fr = engine.fr
         self.params = params
+        if msm_strategy == "auto":
+            # Pippenger's associative-scan programs compile poorly on CPU XLA
+            # (see DESIGN-NOTES.md); the ladder keeps CPU tests fast.
+            import jax as _jax
+
+            msm_strategy = "pippenger" if _jax.default_backend() != "cpu" else "ladder"
+        self.msm_strategy = msm_strategy
+        self.pippenger_c = pippenger_c
 
         # Template synthesis fixes sizes, density maps and domain shape.
         tpl = synthesize_witness(engine, circuit_template)
@@ -150,8 +165,16 @@ class BatchProver:
                 return bits
             return jnp.pad(bits, ((0, 0), (0, 0), (0, n - k)))
 
+        from ..ops.msm import digits_from_bits, msm_pippenger_batched
+
+        use_pippenger = self.msm_strategy == "pippenger"
+        c_win = self.pippenger_c
+
         def msm(ops, bases, bits):
             # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
+            if use_pippenger and bases[0].shape[-1] >= 16:
+                digits = digits_from_bits(bits, c_win)
+                return msm_pippenger_batched(ops, bases, digits, c_win)
             P = tuple(c[..., None, :] for c in bases)  # broadcast over B
             per = scalar_mul_bits(ops, P, bits)
             return tree_reduce(ops, per)  # (L, [2,] B, 1)

@@ -27,6 +27,38 @@ def test_pippenger_matches_naive():
     assert chost.G1.eq(got_pip, want)
 
 
+def test_pippenger_batched_matches_per_item():
+    """Shared-base batched Pippenger (the batched-prover path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bellman_mpc_tpu.ops.msm import (
+        digits_from_bits,
+        msm_pippenger_batched,
+    )
+    from bellman_mpc_tpu.curves.device import scalars_to_bits
+
+    rng = random.Random(6)
+    n, B, c = 16, 3, 4
+    bases = [chost.G1.mul(chost.G1.generator, rng.randrange(1, R)) for _ in range(n)]
+    scalar_sets = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+    scalar_sets[0][0] = 0
+
+    pts = g1_device.encode_points(bases)
+    bits = jnp.stack(
+        [scalars_to_bits(s, 255) for s in scalar_sets], axis=1
+    )  # (255, B, n)
+    digits = digits_from_bits(bits, c)
+    out = jax.jit(
+        lambda p, d: msm_pippenger_batched(g1_device.ops, p, d, c)
+    )(pts, digits)
+    got = g1_device.decode_points(tuple(x[..., 0] for x in out))
+    for b in range(B):
+        want = chost.G1.msm(bases, scalar_sets[b])
+        assert chost.G1.eq(got[b], want)
+
+
 def test_pippenger_duplicate_digits():
     """Many equal scalars stress the segmented-scan bucket path."""
     rng = random.Random(5)
