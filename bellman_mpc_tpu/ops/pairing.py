@@ -159,7 +159,7 @@ def miller_loop_batch(px, py, qx, qy, mask_valid):
 
 
 def final_exp_batch(f):
-    """(p^12-1)/r in three classical stages."""
+    """(p^12-1)/r in three classical stages (exact canonical value)."""
     # easy part: f^(p^6-1) then ^(p^2+1)
     f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
     f2 = tw.fp12_mul(tw.fp12_frobenius2(f1), f1)
@@ -172,6 +172,55 @@ def final_exp_batch(f):
 
     batch = f[0][0][0].shape[1:]
     return jax.lax.fori_loop(0, bits.shape[0], body, tw.fp12_one(batch))
+
+
+_ABS_X_BITS_ARR = None
+
+
+def _pow_abs_x(f):
+    """f^|x| (64-iteration ladder over the BLS parameter bits)."""
+    global _ABS_X_BITS_ARR
+    if _ABS_X_BITS_ARR is None:
+        _ABS_X_BITS_ARR = tuple(int(c) for c in bin(ABS_X)[2:])
+    bits = jnp.asarray(_ABS_X_BITS_ARR, jnp.int32)
+    batch = f[0][0][0].shape[1:]
+
+    def body(i, r):
+        r = tw.fp12_square(r)
+        return tw.fp12_select(bits[i] == 1, tw.fp12_mul(r, f), r)
+
+    return jax.lax.fori_loop(0, bits.shape[0], body, tw.fp12_one(batch))
+
+
+def final_exp_eq_batch(f):
+    """f^(3*(p^12-1)/r) via the BLS x-chain — EQUALITY-preserving only.
+
+    Uses the verified identity (x-1)^2 (x+p) (x^2+p^2-1) + 3 = 3*(p^4-p^2+1)/r
+    (checked exactly at build time).  The extra cube is harmless for
+    pairing-product comparisons (mu_r has prime order r != 3, so cubing is a
+    bijection there) but the VALUE differs from the canonical e(P,Q) — use
+    final_exp_batch where values must match the oracle / Gt formatting.
+    ~7x fewer Fp12 operations in the hard part (4 x-ladders vs a 1270-bit
+    square-and-multiply).
+    """
+    f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
+    f2 = tw.fp12_mul(tw.fp12_frobenius2(f1), f1)
+    # t1 = f2^(x-1) = conj(f2^(|x|+1))   [x < 0]
+    t1 = tw.fp12_conj(tw.fp12_mul(_pow_abs_x(f2), f2))
+    t2 = tw.fp12_conj(tw.fp12_mul(_pow_abs_x(t1), t1))  # ^(x-1) again
+    # t3 = t2^(x+p) = conj(t2^|x|) * frob(t2)
+    t3 = tw.fp12_mul(tw.fp12_conj(_pow_abs_x(t2)), tw.fp12_frobenius(t2))
+    # t4 = t3^(x^2 + p^2 - 1) = t3^(|x|^2) * frob2(t3) * conj(t3)
+    t4 = tw.fp12_mul(
+        tw.fp12_mul(_pow_abs_x(_pow_abs_x(t3)), tw.fp12_frobenius2(t3)),
+        tw.fp12_conj(t3),
+    )
+    # * f2^3
+    return tw.fp12_mul(tw.fp12_mul(t4, tw.fp12_square(f2)), f2)
+
+
+# Verify the exponent identity exactly (host bigints, import-time).
+assert (X - 1) ** 2 * (X + P) * (X ** 2 + P ** 2 - 1) + 3 == 3 * _HARD_EXP
 
 
 # ------------------------------------------------------------------ host APIs
@@ -230,7 +279,7 @@ def _jit_pairing_eq(n: int):
     def run(p1x, p1y, q1x, q1y, m1, p2x, p2y, q2x, q2y, m2):
         ml1 = miller_loop_batch(p1x, p1y, q1x, q1y, m1)
         ml2 = miller_loop_batch(p2x, p2y, q2x, q2y, m2)
-        f = final_exp_batch(tw.fp12_mul(ml1, ml2))
+        f = final_exp_eq_batch(tw.fp12_mul(ml1, ml2))
         return tw.fp12_is_one(f)
 
     return jax.jit(run)

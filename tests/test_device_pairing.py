@@ -44,6 +44,35 @@ def test_pairing_bilinearity_device():
     assert fp12_eq(e35, fp12_pow(e, 15))
 
 
+def test_final_exp_eq_chain_consistency():
+    """x-chain (3d) equality semantics agree with the exact-d final exp."""
+    import jax
+    import jax.numpy as jnp
+
+    from bellman_mpc_tpu.ops import tower as tw
+    from bellman_mpc_tpu.ops.pairing import (
+        _encode_g1,
+        _encode_g2,
+        final_exp_batch,
+        final_exp_eq_batch,
+        miller_loop_batch,
+    )
+    from bellman_mpc_tpu.fields.tower import fp12_pow
+
+    g1s = [G1.mul(G1.generator, 5), G1.mul(G1.generator, 3)]
+    g2s = [G2.mul(G2.generator, 7), G2.mul(G2.generator, 11)]
+    px, py, v1 = _encode_g1(g1s)
+    qx, qy, v2 = _encode_g2(g2s)
+    mask = jnp.asarray(v1 & v2)
+    ml = jax.jit(miller_loop_batch)(px, py, qx, qy, mask)
+    exact = tw.fp12_decode(jax.jit(final_exp_batch)(ml))
+    chain = tw.fp12_decode(jax.jit(final_exp_eq_batch)(ml))
+    from bellman_mpc_tpu.fields.tower import fp12_eq
+
+    for e, c in zip(exact, chain):
+        assert fp12_eq(fp12_pow(e, 3), c), "chain must equal exact^3"
+
+
 def test_pairing_eq_batch():
     a = G1.mul(G1.generator, 7)
     b = G2.mul(G2.generator, 11)
