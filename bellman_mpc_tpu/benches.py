@@ -120,6 +120,51 @@ def bench_pairing(quick: bool = False) -> None:
     _emit("pairing_batch", n / dt, "pairings/s", n=n, total_s=round(dt, 3))
 
 
+def bench_scaling(quick: bool = False) -> None:
+    """Weak-scaling of the sharded MSM over mesh sizes (SURVEY.md §7.2/10).
+
+    On a multi-chip slice this measures ICI scaling; on the CPU test backend
+    it validates the harness on virtual devices.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .curves import host as chost
+    from .curves.device import g1_device, scalars_to_bits
+    from .fields.bls12_381 import R
+    from .parallel.mesh import make_mesh
+    from .parallel.sharded import sharded_msm
+
+    rng = random.Random(7)
+    n_dev = len(jax.devices())
+    n = 256 if quick else 1024
+    bases = [chost.G1.mul(chost.G1.generator, k + 1) for k in range(64)] * (n // 64)
+    pts = g1_device.encode_points(bases)
+    B = 2
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+
+    sizes = [d for d in (1, 2, 4, 8) if d <= n_dev]
+    base_rate = None
+    for d in sizes:
+        mesh = make_mesh(d, shape=(1, d))
+        t0 = time.perf_counter()
+        out = sharded_msm(mesh, g1_device.ops, pts, bits)
+        jax.block_until_ready(out)
+        warm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = sharded_msm(mesh, g1_device.ops, pts, bits)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        rate = B * n / dt
+        if base_rate is None:
+            base_rate = rate
+        _emit(
+            "sharded_msm_scaling", rate, "points/s", devices=d,
+            efficiency=round(rate / (base_rate * d), 3), compile_s=round(warm, 2),
+        )
+
+
 def main() -> None:
     quick = "--quick" in sys.argv
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
@@ -128,6 +173,7 @@ def main() -> None:
         "multiexp": bench_multiexp,
         "ntt": bench_ntt,
         "pairing": bench_pairing,
+        "scaling": bench_scaling,
     }
     for name, fn in benches.items():
         if only and name not in only:

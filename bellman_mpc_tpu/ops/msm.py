@@ -62,11 +62,17 @@ def _jit_msm_ladder(group: DeviceGroup, n: int, nbits: int):
 def msm_host(group: DeviceGroup, bases: Sequence, scalars: Sequence[int]) -> object:
     """Host-facing MSM: affine host points + int scalars -> host point.
 
-    Pads to a power of two with identities, runs the device kernel, decodes.
+    Pads to a power of two with identities; Pippenger on the TPU backend for
+    larger sets, ladder otherwise (CPU XLA compiles the scan-heavy Pippenger
+    program slowly — see DESIGN-NOTES.md).
     """
     n = len(bases)
     if n == 0:
         return None
+    import jax as _jax
+
+    if n >= 64 and _jax.default_backend() != "cpu":
+        return msm_pippenger_host(group, bases, scalars, c=8)
     nbits = max(s.bit_length() for s in scalars) if scalars else 1
     nbits = max(nbits, 1)
     m = _pad_pow2(n)
@@ -284,18 +290,115 @@ def _jit_batch_mul(group: DeviceGroup, n: int, nbits: int):
     )
 
 
+def fixed_base_tables(ops, base: Point, c: int, nbits: int = 255) -> Point:
+    """Comb tables T[w, b] = b * 2^(c*w) * base  (coords (L, [2,] W, 2^c)).
+
+    The TPU replacement for the reference's wNAF window tables
+    (generator.rs:311-328): built once per base on device, then every
+    fixed-base multiplication is W table lookups + a log-depth fold —
+    no doublings at all.
+    """
+    W = -(-nbits // c)
+    n_buckets = 1 << c
+
+    # base_w = 2^(c*w) * base for each window (sequential c*W doublings,
+    # but each is a single point op on one lane — negligible).
+    def shift_body(w, carry):
+        bases, cur = carry
+        bases = jax.tree_util.tree_map(
+            lambda acc, x: jax.lax.dynamic_update_index_in_dim(acc, x, w, -1),
+            bases,
+            cur,
+        )
+        for _ in range(c):
+            cur = point_double(ops, cur)
+        return bases, cur
+
+    bases0 = point_identity(ops, (W,))
+    bases, _ = jax.lax.fori_loop(0, W, shift_body, (bases0, base))
+
+    # T[w, b] = b * base_w: running adds over b (2^c sequential steps on W
+    # lanes); b = 0 entries stay the identity.
+    table0 = point_identity(ops, (W, n_buckets))
+    running0 = point_identity(ops, (W,))
+
+    def bucket_step(i, carry):
+        table, running = carry
+        running = point_add(ops, running, bases)
+        table = jax.tree_util.tree_map(
+            lambda acc, x: jax.lax.dynamic_update_slice_in_dim(
+                acc, x[..., None], i + 1, -1
+            ),
+            table,
+            running,
+        )
+        return table, running
+
+    table, _ = jax.lax.fori_loop(0, n_buckets - 1, bucket_step, (table0, running0))
+    return table
+
+
+def batch_mul_comb(ops, table: Point, digits: jnp.ndarray, c: int) -> Point:
+    """Fixed-base multiply via comb tables: digits (W, N) -> points (L, [2,] N)."""
+    W, N = digits.shape
+    w_idx = jnp.arange(W, dtype=jnp.int32)
+
+    def gather(x):
+        # x: (L, [2,] W, 2^c); pick [w, digits[w, i]] for each (w, i)
+        return x[..., w_idx[:, None], digits]  # (L, [2,] W, N)
+
+    picked = tuple(gather(x) for x in table)
+    # fold the W axis (power-of-two padded) with a log-depth add tree
+    Wp = _pad_pow2(W)
+    if Wp != W:
+        ident = point_identity(ops, (Wp - W, N))
+        picked = tuple(
+            jnp.concatenate([x, i_], axis=-2) for x, i_ in zip(picked, ident)
+        )
+    X, Y, Z = picked
+    n = Wp
+    while n > 1:
+        half = n // 2
+        left = (X[..., :half, :], Y[..., :half, :], Z[..., :half, :])
+        right = (X[..., half:, :], Y[..., half:, :], Z[..., half:, :])
+        X, Y, Z = point_add(ops, left, right)
+        n = half
+    return (X[..., 0, :], Y[..., 0, :], Z[..., 0, :])
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fixed_base_tables(group: DeviceGroup, c: int):
+    return jax.jit(lambda base: fixed_base_tables(group.ops, base, c))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_batch_mul_comb(group: DeviceGroup, n: int, w: int, c: int):
+    return jax.jit(
+        lambda table, digits: batch_mul_comb(group.ops, table, digits, c)
+    )
+
+
+_COMB_C = 8
+
+
 def batch_mul_host(group: DeviceGroup, base, exps: Sequence[int]) -> List:
-    """[base * e for e in exps] on device (fixed-base batch ladder).
+    """[base * e for e in exps] on device via comb tables.
 
     Replaces the reference's wNAF table path (generator.rs:311-328).
     """
     n = len(exps)
     if n == 0:
         return []
-    nbits = max(max(e.bit_length() for e in exps), 1)
     m = _pad_pow2(n)
     sc = list(exps) + [0] * (m - n)
-    B = group.encode_points([base])
-    bits = scalars_to_bits(sc, nbits)
-    out = _jit_batch_mul(group, m, nbits)(B, bits)
+    c = _COMB_C
+    W = -(-255 // c)
+    digits = np.zeros((W, m), np.int32)
+    for i, s in enumerate(sc):
+        s = int(s)
+        for w in range(W):
+            digits[w, i] = (s >> (w * c)) & ((1 << c) - 1)
+    base_dev = tuple(x[..., 0] for x in group.encode_points([base]))
+    table = _jit_fixed_base_tables(group, c)(base_dev)
+    out = _jit_batch_mul_comb(group, m, W, c)(table, jnp.asarray(digits))
     return group.decode_points(out)[:n]
