@@ -179,6 +179,43 @@ class BatchProver:
             per = scalar_mul_bits(ops, P, bits)
             return tree_reduce(ops, per)  # (L, [2,] B, 1)
 
+        def msm_stacked(ops, base_list, bits_list):
+            """Run k same-shaped G1 MSMs as ONE vmapped program.
+
+            The prove step's large G1 MSMs (h, l, a_aux, b1_aux) are padded
+            to a common base count and stacked on a leading axis, so XLA
+            compiles a single MSM body instead of four.
+            """
+            n_max = max(b[0].shape[-1] for b in base_list)
+
+            def pad_base(bs):
+                pad = n_max - bs[0].shape[-1]
+                if pad == 0:
+                    return bs
+                ident = point_identity(ops, (pad,))
+                return tuple(
+                    jnp.concatenate([x, i_], axis=-1)
+                    for x, i_ in zip(bs, ident)
+                )
+
+            def pad_bits(bits):
+                pad = n_max - bits.shape[-1]
+                if pad == 0:
+                    return bits
+                return jnp.pad(bits, ((0, 0), (0, 0), (0, pad)))
+
+            stacked_bases = tuple(
+                jnp.stack([pad_base(b)[coord] for b in base_list], axis=0)
+                for coord in range(3)
+            )
+            stacked_bits = jnp.stack([pad_bits(b) for b in bits_list], axis=0)
+            outs = jax.vmap(lambda bs, bt: msm(ops, bs, bt), in_axes=0)(
+                stacked_bases, stacked_bits
+            )
+            return [
+                tuple(x[i] for x in outs) for i in range(len(base_list))
+            ]
+
         def step(a, b, c, wit_in, wit_aux):
             B = a.shape[1]
             h = jax.vmap(pipeline, in_axes=1, out_axes=1)(a, b, c)
@@ -208,12 +245,15 @@ class BatchProver:
             bits_l = pad_scalars(bits_aux, self.crs_l[0].shape[-1])
             bits_a_in = pad_scalars(bits_in, self.crs_a_in[0].shape[-1])
 
-            h_pt = msm(g1o, self.crs_h, bits_h)
-            l_pt = msm(g1o, self.crs_l, bits_l)
+            # The four large G1 MSMs share one vmapped program; the tiny
+            # input-side MSMs (<= num_inputs bases) stay on the ladder.
+            h_pt, l_pt, a_aux_pt, b1_aux_pt = msm_stacked(
+                g1o,
+                [self.crs_h, self.crs_l, self.crs_a_aux, self.crs_b1_aux],
+                [bits_h, bits_l, bits_a_aux, bits_b_aux],
+            )
             a_in_pt = msm(g1o, self.crs_a_in, bits_a_in)
-            a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux)
             b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in)
-            b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux)
             b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in)
             b2_aux_pt = msm(g2o, self.crs_b2_aux, bits_b_aux)
 
