@@ -73,6 +73,36 @@ def test_final_exp_eq_chain_consistency():
         assert fp12_eq(fp12_pow(e, 3), c), "chain must equal exact^3"
 
 
+def test_bls_batch_verifier_device_path():
+    """BatchVerifier over BLS12-381 exercising the device multi-Miller loop."""
+    from bellman_mpc_tpu.groth16 import (
+        create_random_proof,
+        generate_random_parameters,
+    )
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.groth16.verifier_batch import BatchVerifier
+    from bellman_mpc_tpu.r1cs import InvalidProof
+    from tests.test_groth16_bls import MySillyCircuit
+
+    params = generate_random_parameters(BLS12_381, MySillyCircuit())
+    rng = random.Random(31)
+    bv = BatchVerifier()
+    proofs = []
+    for _ in range(3):
+        a, b = rng.randrange(R), rng.randrange(R)
+        proof = create_random_proof(BLS12_381, MySillyCircuit(a, b), params)
+        proofs.append((proof, [a * b % R]))
+        bv.queue((proof, [a * b % R]))
+    bv.verify(BLS12_381, params.vk, random.Random(32))
+
+    bad = BatchVerifier()
+    for p, i in proofs[:2]:
+        bad.queue((p, i))
+    bad.queue((proofs[2][0], [123456]))  # wrong input
+    with pytest.raises(InvalidProof):
+        bad.verify(BLS12_381, params.vk, random.Random(33))
+
+
 def test_pairing_eq_batch():
     a = G1.mul(G1.generator, 7)
     b = G2.mul(G2.generator, 11)
