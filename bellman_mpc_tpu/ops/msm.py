@@ -381,11 +381,8 @@ def _jit_batch_mul_comb(group: DeviceGroup, n: int, w: int, c: int):
 _COMB_C = 8
 
 
-def batch_mul_host(group: DeviceGroup, base, exps: Sequence[int]) -> List:
-    """[base * e for e in exps] on device via comb tables.
-
-    Replaces the reference's wNAF table path (generator.rs:311-328).
-    """
+def batch_mul_comb_host(group: DeviceGroup, base, exps: Sequence[int]) -> List:
+    """[base * e for e in exps] via device comb tables (wNAF-table analog)."""
     n = len(exps)
     if n == 0:
         return []
@@ -401,4 +398,28 @@ def batch_mul_host(group: DeviceGroup, base, exps: Sequence[int]) -> List:
     base_dev = tuple(x[..., 0] for x in group.encode_points([base]))
     table = _jit_fixed_base_tables(group, c)(base_dev)
     out = _jit_batch_mul_comb(group, m, W, c)(table, jnp.asarray(digits))
+    return group.decode_points(out)[:n]
+
+
+def batch_mul_host(group: DeviceGroup, base, exps: Sequence[int]) -> List:
+    """[base * e for e in exps] on device.
+
+    Replaces the reference's wNAF table path (generator.rs:311-328).
+    Strategy: BMT_FIXED_BASE=comb opts into the comb-table kernel (fewer
+    group ops); the default ladder has predictable compile times on the TPU
+    toolchain.
+    """
+    import os
+
+    if os.environ.get("BMT_FIXED_BASE") == "comb":
+        return batch_mul_comb_host(group, base, exps)
+    n = len(exps)
+    if n == 0:
+        return []
+    nbits = max(max(e.bit_length() for e in exps), 1)
+    m = _pad_pow2(n)
+    sc = list(exps) + [0] * (m - n)
+    B = group.encode_points([base])
+    bits = scalars_to_bits(sc, nbits)
+    out = _jit_batch_mul(group, m, nbits)(B, bits)
     return group.decode_points(out)[:n]

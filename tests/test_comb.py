@@ -5,7 +5,7 @@ import random
 from bellman_mpc_tpu.curves import host as chost
 from bellman_mpc_tpu.curves.device import g1_device, g2_device
 from bellman_mpc_tpu.fields.bls12_381 import R
-from bellman_mpc_tpu.ops.msm import batch_mul_host
+from bellman_mpc_tpu.ops.msm import batch_mul_comb_host as batch_mul_host
 
 
 def test_comb_batch_mul_g1():
