@@ -66,6 +66,103 @@ def sharded_msm(mesh: Mesh, ops, points, bits):
     return fn(points[0], points[1], points[2], bits)
 
 
+def sharded_ntt(mesh: Mesh, field, host, x, inverse: bool = False):
+    """Distributed radix-2 NTT via the 4-step (N1 x N2) decomposition.
+
+    This is the mesh-level form of the reference's 2-level parallel FFT
+    (bellman/src/domain.rs:316-372): per-device sub-NTTs over the matrix
+    axes with the shared-memory interleave replaced by an ICI all-to-all
+    reshard between the column and row passes.
+
+    x: (L, N) limb array (natural order); returns the same-order transform
+    as ops.domain.ntt.  N1 = number of "model" devices; N2 = N / N1.
+    """
+    import numpy as np
+
+    from ..ops.domain import ntt as local_ntt, warm_twiddles
+
+    D = mesh.shape["model"]
+    L, N = x.shape
+    if D == 1:
+        import jax as _jax
+
+        return _jax.jit(
+            lambda y: local_ntt(field, host, y, inverse=inverse)
+        )(x)
+    assert N % D == 0
+    N1, N2 = D, N // D
+    assert N1 & (N1 - 1) == 0 and N2 & (N2 - 1) == 0
+    warm_twiddles(field, host, N2.bit_length() - 1)
+    p = host.p
+    logN = N.bit_length() - 1
+    omega = host.nth_root_of_unity(logN)
+    if inverse:
+        omega = host.inv(omega)
+
+    # Roots for the two sub-transforms.
+    w_n1 = pow(omega, N2, p)  # primitive N1-th root
+    w_n2 = pow(omega, N1, p)  # primitive N2-th root
+
+    # Full twiddle matrix T[k1, n2] = omega^(k1*n2) (host-built, Montgomery).
+    tw = field.encode(
+        [pow(omega, k1 * n2, p) for k1 in range(N1) for n2 in range(N2)]
+    ).reshape(L, N1, N2)
+
+    # Small-N1 DFT matrix W[k1, n1] = w_n1^(k1*n1) (N1 = device count, tiny).
+    dft1 = field.encode(
+        [pow(w_n1, k1 * n1, p) for k1 in range(N1) for n1 in range(N1)]
+    ).reshape(L, N1, N1)
+
+    # The local row pass applies local_ntt(inverse=...), which already scales
+    # by 1/N2 when inverting; the remaining 1/N1 factor is applied here.
+    minv1 = field.encode([host.inv(N1)])[:, 0] if inverse else None
+
+    def local(xl, twl, dft1l):
+        # xl: (L, N1, N2loc) — the n2 axis sharded across "model".
+        # Step 1: size-N1 DFT over n1 (N1 = device count, so an explicit
+        # small matrix-vector product): A[k1, j] = sum_n1 W[k1, n1] x[n1, j].
+        prod = field.mul(dft1l[:, :, :, None], xl[:, None, :, :])
+        a = prod[:, :, 0, :]
+        for n1 in range(1, N1):
+            a = field.add(a, prod[:, :, n1, :])
+        # Step 2: twiddle by omega^(k1*n2).
+        b = field.mul(a, twl)
+        # Step 3: ICI all-to-all — reshard from n2-sharded to k1-sharded
+        # (the reference's shared-memory interleave, domain.rs:358-371).
+        bt = jax.lax.all_to_all(
+            b, "model", split_axis=1, concat_axis=2, tiled=True
+        )  # local (L, N1/D, N2)
+        # Step 4: size-N2 NTT over each local row; omega^N1 is exactly the
+        # canonical size-N2 root, so the cached local twiddles apply.
+        c = jax.vmap(
+            lambda r: local_ntt(field, host, r, inverse=inverse),
+            in_axes=1,
+            out_axes=1,
+        )(bt)
+        if inverse:
+            c = field.mul(c, minv1[:, None, None])
+        return c
+
+    # NOTE on step 4: local_ntt applies the standard omega for size N2 — we
+    # need root w_n2; ops.domain caches twiddles per (field, size) from the
+    # field's canonical root, and w_n2 IS the canonical size-N2 root when
+    # omega is canonical for size N (omega^N1 has order N2, and equals the
+    # canonical 2^log(N2) root since both are root_of_unity^(2^(S-logN)*N1)).
+    in_spec = P(None, None, "model")
+    out_spec = P(None, "model", None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(in_spec, in_spec, P(None, None, None)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    xm = x.reshape(L, N1, N2)
+    c = fn(xm, tw, dft1)  # (L, N1, N2), k1 on axis 1
+    # X[k1 + N1*k2] = C[k1, k2] -> transpose to (k2-major) natural order
+    return jnp.transpose(c, (0, 2, 1)).reshape(L, N)
+
+
 def shard_batch_inputs(mesh: Mesh, arrays: Tuple[jnp.ndarray, ...], batch_axis: int = 1):
     """Place per-proof tensors with the proof axis sharded over "data"."""
     out = []

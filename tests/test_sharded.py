@@ -1,0 +1,64 @@
+"""Mesh-sharded kernels on the 8-virtual-device CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bellman_mpc_tpu.curves import host as chost
+from bellman_mpc_tpu.curves.device import g1_device, scalars_to_bits
+from bellman_mpc_tpu.fields.bls12_381 import R, fr, fr_host
+from bellman_mpc_tpu.fields.mock import mock, mock_host
+from bellman_mpc_tpu.ops.domain import EvaluationDomain
+from bellman_mpc_tpu.parallel.mesh import make_mesh
+from bellman_mpc_tpu.parallel.sharded import sharded_msm, sharded_ntt
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+@needs_devices
+def test_sharded_ntt_matches_local():
+    rng = random.Random(1)
+    n = 64
+    coeffs = [rng.randrange(mock_host.p) for _ in range(n)]
+    d = EvaluationDomain.from_coeffs(mock, mock_host, coeffs)
+    d.fft()
+    want = d.into_coeffs()
+
+    mesh = make_mesh(8, shape=(2, 4))
+    x = mock.encode(coeffs)
+    with mesh:
+        out = sharded_ntt(mesh, mock, mock_host, x)
+    assert mock.decode(out) == want
+
+
+@needs_devices
+def test_sharded_intt_roundtrip():
+    rng = random.Random(2)
+    n = 32
+    coeffs = [rng.randrange(mock_host.p) for _ in range(n)]
+    mesh = make_mesh(8, shape=(2, 4))
+    x = mock.encode(coeffs)
+    with mesh:
+        fwd = sharded_ntt(mesh, mock, mock_host, x)
+        back = sharded_ntt(mesh, mock, mock_host, fwd, inverse=True)
+    assert mock.decode(back) == coeffs
+
+
+@needs_devices
+def test_sharded_msm_matches_host():
+    rng = random.Random(3)
+    n = 16
+    bases = [chost.G1.mul(chost.G1.generator, k + 3) for k in range(n)]
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(2)]
+    pts = g1_device.encode_points(bases)
+    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+    mesh = make_mesh(8, shape=(2, 4))
+    with mesh:
+        out = sharded_msm(mesh, g1_device.ops, pts, bits)
+    got = g1_device.decode_points(tuple(x[..., 0] for x in out))
+    for b in range(2):
+        assert chost.G1.eq(got[b], chost.G1.msm(bases, scalars[b]))
