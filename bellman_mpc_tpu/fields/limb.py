@@ -44,7 +44,19 @@ def _ceil_even(x: int) -> int:
 
 @functools.lru_cache(maxsize=1)
 def _flat_carries() -> bool:
-    """True when the default backend prefers the loop-free carry strategy."""
+    """True when the default backend prefers the loop-free carry strategy.
+
+    BMT_CARRIES=scan|flat overrides the per-backend default (useful when a
+    program with very large traced bodies — e.g. the pairing — hits compiler
+    pathologies with one strategy on a given toolchain).
+    """
+    import os as _os
+
+    override = _os.environ.get("BMT_CARRIES")
+    if override == "scan":
+        return False
+    if override == "flat":
+        return True
     import jax as _jax
 
     return _jax.default_backend() != "cpu"
