@@ -234,13 +234,32 @@ class LimbField:
         return jnp.where(borrow, x, d)
 
     # ------------------------------------------------------------- arithmetic
+    def _scan_reduce2(self, t: jnp.ndarray) -> jnp.ndarray:
+        """ONE fused scan computing both t and t-2p with carries; selects
+        t-2p when non-negative.  Halves the `while` count of the scan
+        strategy's add/sub (2 scans -> 1)."""
+        m = jnp.broadcast_to(self._bc(self.two_p_limbs, t), t.shape)
+
+        def body(carry, xs):
+            ti, mi = xs
+            c1, c2 = carry
+            v1 = ti + c1
+            v2 = ti - mi + c2
+            return (v1 >> LIMB_BITS, v2 >> LIMB_BITS), (
+                v1 & LIMB_MASK,
+                v2 & LIMB_MASK,
+            )
+
+        zero = jnp.zeros(t.shape[1:], jnp.int32)
+        (c1, c2), (d1, d2) = jax.lax.scan(body, (zero, zero), (t, m))
+        return jnp.where(c2 == 0, d2, d1)
+
     @_jit_method()
     def add(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         if _flat_carries():
             t = self._normalize(self._fold(a + b, steps=1))
-        else:
-            t = self.propagate(a + b)
-        return self._cond_sub(t, self.two_p_limbs)
+            return self._cond_sub(t, self.two_p_limbs)
+        return self._scan_reduce2(a + b)
 
     @_jit_method()
     def sub(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -250,7 +269,7 @@ class LimbField:
             nb, _ = self._sub_flat(twop, b)
             return self.add(a, nb)
         t = a - b + self._bc(self.two_p_limbs, a)
-        return self._cond_sub(self.propagate(t), self.two_p_limbs)
+        return self._scan_reduce2(t)
 
     @_jit_method()
     def neg(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -259,7 +278,7 @@ class LimbField:
             t, _ = self._sub_flat(twop, a)
             return self._cond_sub(t, self.two_p_limbs)
         t = self._bc(self.two_p_limbs, a) - a
-        return self._cond_sub(self.propagate(t), self.two_p_limbs)
+        return self._scan_reduce2(t)
 
     @_jit_method()
     def double(self, a: jnp.ndarray) -> jnp.ndarray:
