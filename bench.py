@@ -45,9 +45,14 @@ def main() -> None:
     params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
     log(f"setup done in {time.time() - t0:.1f}s")
 
+    import os
+
+    strategy = os.environ.get("BMT_MSM_STRATEGY", "ladder")
     t0 = time.time()
-    bp = BatchProver(BLS12_381, params, MiMCDemo(constants, 0, 0))
-    log(f"batch prover built in {time.time() - t0:.1f}s")
+    bp = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), msm_strategy=strategy
+    )
+    log(f"batch prover built in {time.time() - t0:.1f}s (msm={strategy})")
 
     B = 16
     import random
