@@ -59,6 +59,30 @@ def test_pippenger_batched_matches_per_item():
         assert chost.G1.eq(got[b], want)
 
 
+def test_pippenger_batched_g2():
+    """The G2 (rank-3 coordinate) batched Pippenger path."""
+    import jax
+    import jax.numpy as jnp
+
+    from bellman_mpc_tpu.curves.device import g2_device, scalars_to_bits
+    from bellman_mpc_tpu.ops.msm import digits_from_bits, msm_pippenger_batched
+
+    rng = random.Random(8)
+    n, B, c = 8, 2, 4
+    bases = [chost.G2.mul(chost.G2.generator, k + 2) for k in range(n)]
+    scalar_sets = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+    pts = g2_device.encode_points(bases)
+    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalar_sets], axis=1)
+    digits = digits_from_bits(bits, c)
+    out = jax.jit(
+        lambda p, d: msm_pippenger_batched(g2_device.ops, p, d, c)
+    )(pts, digits)
+    got = g2_device.decode_points(tuple(x[..., 0] for x in out))
+    for b in range(B):
+        want = chost.G2.msm(bases, scalar_sets[b])
+        assert chost.G2.eq(got[b], want)
+
+
 def test_pippenger_duplicate_digits():
     """Many equal scalars stress the segmented-scan bucket path."""
     rng = random.Random(5)
