@@ -92,6 +92,11 @@ class BatchProver:
             msm_strategy = "pippenger" if _jax.default_backend() != "cpu" else "ladder"
         self.msm_strategy = msm_strategy
         self.pippenger_c = pippenger_c
+        # One vmapped body for the 4 large G1 MSMs: ~4x cheaper to compile
+        # but measured 2.2x slower at runtime (VMEM spill); opt-in only.
+        import os as _os
+
+        self.stack_msms = _os.environ.get("BMT_STACK_MSMS") == "1"
 
         # Template synthesis fixes sizes, density maps and domain shape.
         tpl = synthesize_witness(engine, circuit_template)
@@ -245,13 +250,20 @@ class BatchProver:
             bits_l = pad_scalars(bits_aux, self.crs_l[0].shape[-1])
             bits_a_in = pad_scalars(bits_in, self.crs_a_in[0].shape[-1])
 
-            # The four large G1 MSMs share one vmapped program; the tiny
-            # input-side MSMs (<= num_inputs bases) stay on the ladder.
-            h_pt, l_pt, a_aux_pt, b1_aux_pt = msm_stacked(
-                g1o,
-                [self.crs_h, self.crs_l, self.crs_a_aux, self.crs_b1_aux],
-                [bits_h, bits_l, bits_a_aux, bits_b_aux],
-            )
+            # Separate MSM programs: stacking the four large G1 MSMs into one
+            # vmapped body was measured 2.2x SLOWER at runtime on TPU (the
+            # 4x-wider fused multiplies spill VMEM), so each runs on its own.
+            if self.stack_msms:
+                h_pt, l_pt, a_aux_pt, b1_aux_pt = msm_stacked(
+                    g1o,
+                    [self.crs_h, self.crs_l, self.crs_a_aux, self.crs_b1_aux],
+                    [bits_h, bits_l, bits_a_aux, bits_b_aux],
+                )
+            else:
+                h_pt = msm(g1o, self.crs_h, bits_h)
+                l_pt = msm(g1o, self.crs_l, bits_l)
+                a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux)
+                b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux)
             a_in_pt = msm(g1o, self.crs_a_in, bits_a_in)
             b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in)
             b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in)
