@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import bls12_381 as bc
-from ..fields.limb import LimbField
+from ..fields.limb import LazyCols, LazyFp2, LimbField
 from . import host as chost
 
 
@@ -94,6 +94,31 @@ class DevFp:
 
     def inv(self, a):
         return self.f.inv(a)
+
+    # -- lazy-column interface (Aranha-style deferred reduction) -------------
+    # Operands are (array, dvec): dvec is the exact per-limb digit bound
+    # (tuple of host ints), so raw digit-wise operand sums need no carry
+    # pass — LazyCols proves int32 safety at trace time from these bounds.
+    def lop(self, arr):
+        return (arr, self.f._dmax_lazy)
+
+    def ldsum(self, a, b):
+        dm = self.f._dmax_lazy
+        return (a + b, tuple(2 * d for d in dm))
+
+    def lmul_many(self, pairs):
+        return self.f.lazy_mul_many(
+            [(a, b) for (a, _), (b, _) in pairs],
+            [(da, db) for (_, da), (_, db) in pairs],
+        )
+
+    def lreduce_many(self, lcs):
+        return self.f.lazy_reduce_many(lcs)
+
+    def lb3(self, lc: LazyCols) -> LazyCols:
+        """Multiply unreduced columns by the small integer b3 (Montgomery
+        form is linear, so an integer column scale IS the b3 multiply)."""
+        return lc.fold().scale(self.b3)
 
     # host <-> device
     def encode(self, vals: Sequence[int]):
@@ -201,6 +226,53 @@ class DevFp2:
         dinv = f.inv(d)
         return jnp.stack([f.mul(a0, dinv), f.mul(f.neg(a1), dinv)], axis=1)
 
+    # -- lazy-column interface (see DevFp; values here are LazyFp2) ----------
+    # Operand digit bounds (dvec) apply to BOTH Fp components.
+    def lop(self, arr):
+        return (arr, self.f._dmax_lazy)
+
+    def ldsum(self, a, b):
+        # fold once so the Karatsuba sum lane (digits 2x again) stays small
+        dm = self.f._dmax_lazy
+        arr, dvec = self.f.fold_digits(a + b, tuple(2 * d for d in dm))
+        return (arr, dvec)
+
+    def lmul_many(self, pairs):
+        """k unreduced Fp2 Karatsuba products via ONE (3k-lane) product loop."""
+        f = self.f
+        arrs, dmaxes = [], []
+        for (a, da), (b, db) in pairs:
+            a0, a1 = a[:, 0], a[:, 1]
+            b0, b1 = b[:, 0], b[:, 1]
+            da2 = tuple(2 * x for x in da)
+            db2 = tuple(2 * x for x in db)
+            arrs += [(a0, b0), (a1, b1), (a0 + a1, b0 + b1)]
+            dmaxes += [(da, db), (da, db), (da2, db2)]
+        prods = f.lazy_mul_many(arrs, dmaxes)
+        out = []
+        for i in range(len(pairs)):
+            t0, t1, t2 = prods[3 * i : 3 * i + 3]
+            out.append(LazyFp2(t0 - t1, t2 - t0 - t1))
+        return out
+
+    def lreduce_many(self, lfp2s):
+        flat = []
+        for l in lfp2s:
+            flat += [l.re, l.im]
+        red = self.f.lazy_reduce_many(flat)
+        return [
+            jnp.stack([red[2 * i], red[2 * i + 1]], axis=1)
+            for i in range(len(lfp2s))
+        ]
+
+    def lb3(self, l: LazyFp2) -> LazyFp2:
+        """Multiply unreduced Fp2 columns by b3 = c*(1+u): an integer
+        xi-style combine, no Montgomery multiply needed."""
+        assert self.b3c0 == self.b3c1, "lazy b3 assumes b3 = c*(1+u)"
+        c = self.b3c0
+        re, im = l.re.fold(), l.im.fold()
+        return LazyFp2((re - im).scale(c), (re + im).scale(c))
+
     def encode(self, vals: Sequence[Tuple[int, int]]):
         c0 = self.f.encode([v[0] for v in vals])
         c1 = self.f.encode([v[1] for v in vals])
@@ -221,60 +293,78 @@ def point_identity(ops, batch) -> Point:
 
 
 def point_add(ops, p: Point, q: Point) -> Point:
-    """Complete addition, RCB15 Algorithm 7 (a=0, 12M + 2m_b3 + 19a).
+    """Complete addition, RCB15 Algorithm 7 (a=0), with lazy reduction.
 
-    The 12 multiplies + 2 b3-multiplies run as THREE stacked limb multiplies
-    (6 + 2 + 6 lanes) — dependency structure of the formula permits exactly
-    this grouping.
+    The formula is evaluated as TWO stacked product loops (6 + 6 lanes) and
+    TWO stacked Montgomery reductions (6 + 3 lanes).  Every +/- and both
+    b3-multiplies happen at the unreduced-column level (plain int32 tensor
+    adds — b3 is a small integer, and Montgomery form is linear, so b3·x is
+    a column scale).  Zero standalone carry-normalization passes; all bounds
+    proven at trace time by LazyCols.
     """
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
-    t0, t1, t2, m_xy, m_yz, m_xz = ops.mul_many(
+    el = ops.lop
+    t0, t1, t2, m_xy, m_yz, m_xz = ops.lmul_many(
         [
-            (X1, X2),
-            (Y1, Y2),
-            (Z1, Z2),
-            (ops.add(X1, Y1), ops.add(X2, Y2)),
-            (ops.add(Y1, Z1), ops.add(Y2, Z2)),
-            (ops.add(X1, Z1), ops.add(X2, Z2)),
+            (el(X1), el(X2)),
+            (el(Y1), el(Y2)),
+            (el(Z1), el(Z2)),
+            (ops.ldsum(X1, Y1), ops.ldsum(X2, Y2)),
+            (ops.ldsum(Y1, Z1), ops.ldsum(Y2, Z2)),
+            (ops.ldsum(X1, Z1), ops.ldsum(X2, Z2)),
         ]
     )
-    t3 = ops.sub(m_xy, ops.add(t0, t1))
-    t4 = ops.sub(m_yz, ops.add(t1, t2))
-    y3_raw = ops.sub(m_xz, ops.add(t0, t2))
-    t0_3 = ops.add(ops.add(t0, t0), t0)
-    b3 = ops.b3_element(t2)
-    t2b, y3b = ops.mul_many([(t2, b3), (y3_raw, b3)])
-    Z3 = ops.add(t1, t2b)
-    t1 = ops.sub(t1, t2b)
-    p1, p2, p3, p4, p5, p6 = ops.mul_many(
+    t2b = ops.lb3(t2)
+    t3, t4, y3b, t0_3, Z3m, t1m = ops.lreduce_many(
         [
-            (t4, y3b),
-            (t3, t1),
-            (y3b, t0_3),
-            (t1, Z3),
-            (t0_3, t3),
-            (Z3, t4),
+            m_xy - t0 - t1,
+            m_yz - t1 - t2,
+            ops.lb3(m_xz - t0 - t2),
+            3 * t0,
+            t1 + t2b,
+            t1 - t2b,
         ]
     )
-    return (ops.sub(p2, p1), ops.add(p4, p3), ops.add(p6, p5))
+    p1, p2, p3, p4, p5, p6 = ops.lmul_many(
+        [
+            (el(t4), el(y3b)),
+            (el(t3), el(t1m)),
+            (el(y3b), el(t0_3)),
+            (el(t1m), el(Z3m)),
+            (el(t0_3), el(t3)),
+            (el(Z3m), el(t4)),
+        ]
+    )
+    X3, Y3, Z3 = ops.lreduce_many([p2 - p1, p4 + p3, p6 + p5])
+    return (X3, Y3, Z3)
 
 
 def point_double(ops, p: Point) -> Point:
-    """Doubling, RCB15 Algorithm 9 (a=0), in three stacked multiplies."""
+    """Doubling, RCB15 Algorithm 9 (a=0), with lazy reduction (two stacked
+    product loops of 4 lanes, two stacked reductions of 6 + 3 lanes)."""
     X, Y, Z = p
-    t0, t1, t2_raw, txy = ops.mul_many([(Y, Y), (Y, Z), (Z, Z), (X, Y)])
-    (t2,) = ops.mul_many([(t2_raw, ops.b3_element(t2_raw))])
-    z3_8y2 = ops.add(ops.add(t0, t0), ops.add(t0, t0))
-    z3_8y2 = ops.add(z3_8y2, z3_8y2)  # 8 Y^2
-    y3_mid = ops.add(t0, t2)
-    t0_adj = ops.sub(t0, ops.add(ops.add(t2, t2), t2))  # t0 - 3 t2
-    x3p, z3p, y3p, x3q = ops.mul_many(
-        [(t2, z3_8y2), (t1, z3_8y2), (t0_adj, y3_mid), (t0_adj, txy)]
+    el = ops.lop
+    t0, t1, t2r, txy = ops.lmul_many(
+        [(el(Y), el(Y)), (el(Y), el(Z)), (el(Z), el(Z)), (el(X), el(Y))]
     )
-    X3 = ops.add(x3q, x3q)
-    Y3 = ops.add(x3p, y3p)
-    return (X3, Y3, z3p)
+    t2 = ops.lb3(t2r)
+    z3_8y2, y3_mid, t0_adj, t1e, txye, t2re = ops.lreduce_many(
+        [8 * t0, t0 + t2, t0 - 3 * t2, t1, txy, t2r]
+    )
+    x3p_raw, z3p, y3p, x3q = ops.lmul_many(
+        [
+            (el(t2re), el(z3_8y2)),
+            (el(t1e), el(z3_8y2)),
+            (el(t0_adj), el(y3_mid)),
+            (el(t0_adj), el(txye)),
+        ]
+    )
+    # x3p = b3 * (t2r * 8Y^2): fold the b3 scale into the product columns.
+    X3, Y3, Z3 = ops.lreduce_many(
+        [2 * x3q, ops.lb3(x3p_raw) + y3p, z3p]
+    )
+    return (X3, Y3, Z3)
 
 
 def point_select(ops, cond, p: Point, q: Point) -> Point:

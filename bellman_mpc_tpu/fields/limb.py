@@ -2,22 +2,26 @@
 
 TPUs have no native 64-bit integer multiplier, so every field op in this
 framework runs over a limb decomposition: a field element is a vector of
-``L`` 12-bit limbs held in int32 lanes, and a *batch* of elements is an array
+``L`` 11-bit limbs held in int32 lanes, and a *batch* of elements is an array
 of shape ``(L, *batch)`` — limbs-first, so the (large) batch axis lands on the
 TPU's 128-wide vector lanes and the tiny limb axis on sublanes.  All
 arithmetic is branch-free and shape-static, so entire protocol pipelines
 (NTT -> MSM -> pairing) trace into a single XLA program.
 
 Representation invariants:
-  * limbs are canonical:   0 <= limb < 2^12   (int32 storage)
+  * limbs are canonical:   0 <= limb < 2^11   (int32 storage)
   * values are "lazy":     0 <= value < 2*p   (classic lazy Montgomery range;
-    requires 4p < R = 2^(12*L), which holds for every field we instantiate)
+    requires 4p < R = 2^(11*L), which holds for every field we instantiate)
   * unless stated otherwise values are in Montgomery form  x*R mod p.
 
-Why 12-bit limbs: schoolbook column sums of L<=32 products of 12-bit limbs
-stay below 2^29 and the interleaved Montgomery reduction peaks below 2^31,
-so everything fits signed int32 with no carry splitting — one multiply-add
-per partial product on the VPU.
+Why 11-bit limbs: schoolbook column sums of L<=36 products of 11-bit limbs
+stay below 2^27.2, so MULTIPLE unreduced products can be accumulated at the
+column level before ONE Montgomery reduction (Aranha-style lazy reduction,
+the `LazyCols` API below) while the interleaved reduction still peaks below
+2^31 — everything fits signed int32 with no carry splitting, one
+multiply-add per partial product on the VPU.  We size L so that R >= 64*p,
+which guarantees at least ~8 accumulated products keep the REDC output in
+the lazy range (see `LazyCols.reduce` for the exact trace-time proof).
 
 This module is the TPU-native replacement for the reference's `ff`-crate
 64-bit-limb Montgomery arithmetic (the reference's field layer is the
@@ -34,12 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LIMB_BITS = 12
+LIMB_BITS = 11
 LIMB_MASK = (1 << LIMB_BITS) - 1
-
-
-def _ceil_even(x: int) -> int:
-    return x + (x % 2)
 
 
 @functools.lru_cache(maxsize=1)
@@ -80,15 +80,26 @@ class LimbField:
         self.p = modulus
         self.name = name
         b = LIMB_BITS
-        # Enough limbs that R = 2^(bL) > 4p (lazy-range requirement), L even
-        # so host <-> limb codecs can work on 3-byte / 2-limb chunks.
-        L = _ceil_even(-(-(modulus.bit_length() + 2) // b))
+        # Enough limbs that R = 2^(bL) >= 64p: the lazy range needs 4p < R,
+        # and the LazyCols accumulation headroom (k products of lazy inputs
+        # reduce to < 2p iff k*8p <= R) wants the extra bits.
+        L = -(-(modulus.bit_length() + 6) // b)
         self.L = L
-        self.nbytes = 3 * L // 2
+        self.nbytes = (b * L + 7) // 8
         self.R = 1 << (b * L)
-        assert 4 * modulus < self.R
+        assert 64 * modulus <= self.R
         self.n0inv = (-pow(modulus, -1, 1 << b)) % (1 << b)
         self.r2 = (self.R * self.R) % modulus
+        # Codec tables: limb i occupies bits [b*i, b*i + b) of the
+        # little-endian byte string; it is read from / written into the three
+        # bytes starting at byte b*i // 8 with shift b*i % 8.
+        self._byte_idx = np.asarray([(b * i) // 8 for i in range(L)])
+        self._bit_shift = np.asarray([(b * i) % 8 for i in range(L)])
+        # Per-column digit bound for any canonical-digit value < 2p (used by
+        # LazyCols trace-time bound tracking).
+        self._dmax_lazy = tuple(
+            min(LIMB_MASK, (2 * modulus - 1) >> (b * i)) for i in range(L)
+        )
 
         self._p_list = self._int_to_limbs(modulus)
         self._2p_list = self._int_to_limbs(2 * modulus)
@@ -284,13 +295,13 @@ class LimbField:
     def double(self, a: jnp.ndarray) -> jnp.ndarray:
         return self.add(a, a)
 
-    @_jit_method()
-    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-        """Montgomery product a*b*R^{-1} mod p (lazy range in, lazy range out).
+    def mul_cols(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Schoolbook product columns of a*b: (L, *B) x2 -> (2L, *B) int32.
 
-        Schoolbook column products then interleaved word-by-word Montgomery
-        reduction; both phases are `fori_loop`s over the (tiny) limb axis so
-        tracing cost stays O(L) while the batch axes ride the vector lanes.
+        No reduction: columns satisfy cols[c] = sum_{i+j=c} a_i * b_j, each
+        bounded by L * (2^11-1)^2 < 2^27.2 — small enough that several
+        products can be accumulated before one Montgomery reduction (the
+        LazyCols API tracks exact bounds).
         """
         L = self.L
         a, b = jnp.broadcast_arrays(a, b)
@@ -302,8 +313,18 @@ class LimbField:
             cur = jax.lax.dynamic_slice_in_dim(t, i, L, 0)
             return jax.lax.dynamic_update_slice_in_dim(t, cur + ai * b, i, 0)
 
-        t = jax.lax.fori_loop(0, L, prod_body, t0)
+        return jax.lax.fori_loop(0, L, prod_body, t0)
 
+    def redc_cols(self, t: jnp.ndarray, fold_steps: int = 4) -> jnp.ndarray:
+        """Word-by-word Montgomery reduction of (2L, *B) non-negative columns.
+
+        Returns canonical-digit limbs of value (T + m*p)/R < T/R + p; callers
+        (LazyCols.reduce / mul) guarantee T < p*R so the output is lazy (<2p).
+        `fold_steps` must flatten the post-reduction column bound to <= 4096
+        (4 suffices from 2^30; LazyCols computes it exactly).
+        """
+        L = self.L
+        batch = t.shape[1:]
         p_rest = self._bc(self.p_rest, t)
 
         def red_body(i, state):
@@ -319,11 +340,21 @@ class LimbField:
             0, L, red_body, (jnp.zeros(batch, jnp.int32), t)
         )
         r = t[L:].at[0].add(carry)
-        # Montgomery output is provably < 2p (4p < R), so no conditional
-        # subtraction — just flatten the carries into canonical digits.
+        # Output is provably < 2p, so no conditional subtraction — just
+        # flatten the carries into canonical digits.
         if _flat_carries():
-            return self._normalize(self._fold(r, steps=4))
+            return self._normalize(self._fold(r, steps=fold_steps))
         return self.propagate(r)
+
+    @_jit_method()
+    def mul(self, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        """Montgomery product a*b*R^{-1} mod p (lazy range in, lazy range out).
+
+        Schoolbook column products then interleaved word-by-word Montgomery
+        reduction; both phases are `fori_loop`s over the (tiny) limb axis so
+        tracing cost stays O(L) while the batch axes ride the vector lanes.
+        """
+        return self.redc_cols(self.mul_cols(a, b))
 
     @_jit_method()
     def square(self, a: jnp.ndarray) -> jnp.ndarray:
@@ -385,7 +416,7 @@ class LimbField:
 
     # ----------------------------------------------------------- host codecs
     def encode(self, values: Sequence[int], mont: bool = True) -> jnp.ndarray:
-        """Host ints -> (L, N) int32 device array (vectorized via 3-byte chunks)."""
+        """Host ints -> (L, N) int32 device array (vectorized bit extraction)."""
         p = self.p
         if mont:
             R = self.R
@@ -395,11 +426,11 @@ class LimbField:
         n = len(values)
         raw = b"".join(v.to_bytes(self.nbytes, "little") for v in values)
         u = np.frombuffer(raw, np.uint8).reshape(n, self.nbytes).astype(np.int32)
-        c = u[:, 0::3] + (u[:, 1::3] << 8) + (u[:, 2::3] << 16)  # (N, L/2)
-        limbs = np.empty((n, self.L), np.int32)
-        limbs[:, 0::2] = c & LIMB_MASK
-        limbs[:, 1::2] = c >> LIMB_BITS
-        return jnp.asarray(limbs.T)
+        u = np.pad(u, ((0, 0), (0, 2)))  # 3-byte reads never run off the end
+        j = self._byte_idx
+        chunk = u[:, j] | (u[:, j + 1] << 8) | (u[:, j + 2] << 16)  # (N, L)
+        limbs = (chunk >> self._bit_shift) & LIMB_MASK
+        return jnp.asarray(limbs.T.astype(np.int32))
 
     def decode(self, arr, mont: bool = True) -> List[int]:
         """(L, *batch) device array -> list of host ints (canonical, std form)."""
@@ -408,14 +439,18 @@ class LimbField:
             a = self.from_mont(a)
         else:
             a = self.canon(a)
-        flat = np.asarray(a.reshape(self.L, -1)).T  # (N, L)
+        flat = np.asarray(a.reshape(self.L, -1)).T.astype(np.int64)  # (N, L)
         n = flat.shape[0]
-        c = flat[:, 0::2] | (flat[:, 1::2] << LIMB_BITS)  # 24-bit chunks
-        u8 = np.empty((n, self.nbytes), np.uint8)
-        u8[:, 0::3] = c & 0xFF
-        u8[:, 1::3] = (c >> 8) & 0xFF
-        u8[:, 2::3] = (c >> 16) & 0xFF
-        raw = u8.tobytes()
+        # Scatter each limb's 11 bits into its three bytes.  Distinct limbs
+        # occupy disjoint bit ranges, so plain addition never carries.
+        buf = np.zeros((n, self.nbytes + 2), np.int64)
+        for i in range(self.L):
+            v = flat[:, i] << int(self._bit_shift[i])  # <= 18 bits
+            j = int(self._byte_idx[i])
+            buf[:, j] += v & 0xFF
+            buf[:, j + 1] += (v >> 8) & 0xFF
+            buf[:, j + 2] += v >> 16
+        raw = buf[:, : self.nbytes].astype(np.uint8).tobytes()
         nb = self.nbytes
         return [
             int.from_bytes(raw[i * nb : (i + 1) * nb], "little") for i in range(n)
@@ -426,3 +461,242 @@ class LimbField:
 
     def __repr__(self) -> str:
         return f"LimbField({self.name}, L={self.L}, bits={self.p.bit_length()})"
+
+    # -------------------------------------------------- lazy column reduction
+    # Aranha-style lazy reduction adapted to vectorized 11-bit limbs: keep
+    # products as unreduced (2L, *B) column tensors, combine them with plain
+    # int32 adds/subs, and run ONE Montgomery reduction per final output.
+    # Every bound is tracked EXACTLY at trace time (Python bigints), so each
+    # call site carries a machine-checked int32/overflow proof.
+
+    def lazy_mul_many(
+        self,
+        pairs: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+        dmax_pairs: Sequence[Tuple[Tuple[int, ...], Tuple[int, ...]]] = None,
+    ) -> List["LazyCols"]:
+        """k unreduced products through ONE stacked product loop.
+
+        Each pair (a, b) is limb arrays of matching batch shape; optional
+        per-operand digit bounds (defaults: canonical digits of a lazy <2p
+        element).  Operands MAY be raw digit-wise sums of elements (digits
+        above 2^11) as long as the supplied bounds say so — that is the
+        whole point: Karatsuba-style operand adds need no carry pass.
+        """
+        k = len(pairs)
+        if dmax_pairs is None:
+            dmax_pairs = [(self._dmax_lazy, self._dmax_lazy)] * k
+        lhs = jnp.stack([a for a, _ in pairs], axis=1)
+        rhs = jnp.stack([b for _, b in pairs], axis=1)
+        cols = self.mul_cols(lhs, rhs)  # (2L, k, *B)
+        out = []
+        for i, (da, db) in enumerate(dmax_pairs):
+            hi = tuple(int(x) for x in np.convolve(
+                np.asarray(da, object), np.asarray(db, object)
+            )) + (0,)  # conv gives 2L-1 columns; top column is empty
+            assert max(hi) < (1 << 31), "product columns overflow int32"
+            out.append(LazyCols(self, cols[:, i], hi))
+        return out
+
+    def lazy_mul(self, a, b, da=None, db=None) -> "LazyCols":
+        d = self._dmax_lazy
+        return self.lazy_mul_many(
+            [(a, b)], [(da or d, db or d)]
+        )[0]
+
+    def lazy_reduce_many(self, lcs: Sequence["LazyCols"]) -> List[jnp.ndarray]:
+        """Reduce k LazyCols through ONE stacked Montgomery reduction."""
+        cols = jnp.stack([lc.cols for lc in lcs], axis=1)
+        hi = tuple(max(lc.hi[i] for lc in lcs) for i in range(2 * self.L))
+        r = LazyCols(self, cols, hi).reduce()
+        return [r[:, i] for i in range(len(lcs))]
+
+    def fold_digits(
+        self, arr: jnp.ndarray, dvec: Tuple[int, ...]
+    ) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+        """One value-preserving carry fold of an (L, *B) digit array (e.g. a
+        raw digit-wise operand sum): digits shrink to ~MASK + dvec/2^11 in a
+        single cheap vector pass (no carry-lookahead normalization).  The
+        top carry is provably zero (value must fit L limbs — asserted)."""
+        b = LIMB_BITS
+        assert sum(d << (b * i) for i, d in enumerate(dvec)) < self.R
+        carry = arr >> b
+        arr = (arr & LIMB_MASK) + jnp.concatenate(
+            [jnp.zeros_like(arr[:1]), carry[:-1]], axis=0
+        )
+        out = tuple(
+            min(dvec[i], LIMB_MASK) + (dvec[i - 1] >> b if i else 0)
+            for i in range(len(dvec))
+        )
+        return arr, out
+
+
+def _digit_sum_bound(*dmaxes):
+    """Digit-bound vector of a raw digit-wise sum of operands."""
+    return tuple(sum(ds) for ds in zip(*dmaxes))
+
+
+class LazyFp2:
+    """Unreduced Fp2 value: a pair of LazyCols (Karatsuba re/im columns).
+
+    Works for any quadratic extension Fp[u]/(u^2+1); the xi = 1+u multiply
+    is the integer column combine (re - im, re + im)."""
+
+    __slots__ = ("re", "im")
+
+    def __init__(self, re: "LazyCols", im: "LazyCols"):
+        self.re = re
+        self.im = im
+
+    def __add__(self, o: "LazyFp2") -> "LazyFp2":
+        return LazyFp2(self.re + o.re, self.im + o.im)
+
+    def __sub__(self, o: "LazyFp2") -> "LazyFp2":
+        return LazyFp2(self.re - o.re, self.im - o.im)
+
+    def scale(self, k: int) -> "LazyFp2":
+        return LazyFp2(self.re.scale(k), self.im.scale(k))
+
+    def __rmul__(self, k: int) -> "LazyFp2":
+        return self.scale(k)
+
+    def mul_by_xi(self) -> "LazyFp2":
+        return LazyFp2(self.re - self.im, self.re + self.im)
+
+
+class LazyCols:
+    """Unreduced Montgomery product columns with trace-time bound proofs.
+
+    Represents the integer  T = sum_i cols[i] * 2^(11 i)  with
+    0 <= cols[i] <= hi[i] (hi tracked exactly on the host).  T is congruent
+    to (x*y)*R^2... i.e. one Montgomery reduction away from the Montgomery
+    form of the represented product-sum.  Subtraction adds an offset
+    multiple of p whose column vector dominates the subtrahend's bounds, so
+    columns never go negative and the flat carry machinery stays valid.
+    """
+
+    __slots__ = ("f", "cols", "hi")
+
+    def __init__(self, f: LimbField, cols: jnp.ndarray, hi: Tuple[int, ...]):
+        self.f = f
+        self.cols = cols
+        self.hi = hi
+
+    # ------------------------------------------------------------- combining
+    def fold(self, steps: int = 1) -> "LazyCols":
+        """Value-preserving carry fold: shrinks column bounds to roughly
+        MASK + hi/2^11 per step (one cheap vector pass).  The top column's
+        carry is provably zero because the represented value fits 2L limbs
+        (asserted from the tracked bounds)."""
+        b = LIMB_BITS
+        n = len(self.hi)
+        assert sum(h << (b * i) for i, h in enumerate(self.hi)) < 1 << (b * n)
+        cols, hi = self.cols, list(self.hi)
+        zero_head = jnp.zeros_like(cols[:1])
+        for _ in range(steps):
+            carry = cols >> b
+            cols = (cols & LIMB_MASK) + jnp.concatenate(
+                [zero_head, carry[:-1]], axis=0
+            )
+            hi = [
+                min(hi[i], LIMB_MASK) + (hi[i - 1] >> b if i else 0)
+                for i in range(n)
+            ]
+        return LazyCols(self.f, cols, tuple(hi))
+
+    def _folded_to(self, limit: int) -> "LazyCols":
+        out = self
+        while max(out.hi) > limit:
+            out = out.fold()
+        return out
+
+    def __add__(self, other: "LazyCols") -> "LazyCols":
+        a, b = self, other
+        if max(x + y for x, y in zip(a.hi, b.hi)) >= (1 << 31):
+            a = a._folded_to(1 << 29)
+            b = b._folded_to(1 << 29)
+        return LazyCols(
+            a.f,
+            a.cols + b.cols,
+            tuple(x + y for x, y in zip(a.hi, b.hi)),
+        )
+
+    def __sub__(self, other: "LazyCols") -> "LazyCols":
+        f = self.f
+        b = LIMB_BITS
+        me, oth = self, other
+        if max(x + 2 * y for x, y in zip(me.hi, oth.hi)) >= (1 << 31) - (
+            1 << 12
+        ):
+            me = me._folded_to(1 << 28)
+            oth = oth._folded_to(1 << 28)
+        # Offset Q ≡ 0 (mod p) whose columns dominate oth.hi: take the
+        # bound vector itself plus the canonical digits of (-value) mod p.
+        v = sum(h << (b * i) for i, h in enumerate(oth.hi))
+        corr = (-v) % f.p
+        q = list(oth.hi)
+        for i in range(f.L):
+            q[i] += (corr >> (b * i)) & LIMB_MASK
+        qa = jnp.asarray(q, jnp.int32).reshape(
+            (2 * f.L,) + (1,) * (me.cols.ndim - 1)
+        )
+        return LazyCols(
+            f,
+            me.cols - oth.cols + qa,
+            tuple(a + qi for a, qi in zip(me.hi, q)),
+        )
+
+    def scale(self, k: int) -> "LazyCols":
+        assert k >= 0
+        out = self if k == 0 else self._folded_to(((1 << 31) - 1) // k)
+        return LazyCols(out.f, out.cols * k, tuple(h * k for h in out.hi))
+
+    def __rmul__(self, k: int) -> "LazyCols":
+        return self.scale(k)
+
+    # -------------------------------------------------------------- reducing
+    def reduce(self) -> jnp.ndarray:
+        """ONE Montgomery reduction -> lazy element (<2p, canonical digits).
+
+        Trace-time proof obligations, checked here exactly:
+          * value bound  T < p*R   (=> REDC output < 2p, the lazy range);
+          * int32 bound: every intermediate of the REDC recurrence
+            ti = t[i]+carry; t[j] += m*p[j-i]; carry=(ti+m*p0)>>11 stays
+            below 2^31 under the tracked per-column maxima;
+          * fold schedule: enough carry-fold rounds that digits reach the
+            <=4094 range required by the carry-lookahead normalizer.
+        """
+        f = self.f
+        b = LIMB_BITS
+        L = f.L
+        T = sum(h << (b * i) for i, h in enumerate(self.hi))
+        assert T < f.p * f.R, "lazy accumulation exceeds p*R (output not <2p)"
+
+        def _simulate(hi):
+            # worst-case REDC growth; None on int32 overflow
+            w = list(hi)
+            carry = 0
+            for i in range(L):
+                ti = w[i] + carry
+                peak = ti + LIMB_MASK * f.p0
+                if peak >= (1 << 31):
+                    return None
+                carry = peak >> b
+                for j in range(1, L):
+                    w[i + j] += LIMB_MASK * f._p_list[j]
+                    if w[i + j] >= (1 << 31):
+                        return None
+            r_hi = w[L:] + [0]
+            r_hi[0] += carry
+            return r_hi
+
+        lc = self
+        r_hi = _simulate(lc.hi)
+        while r_hi is None:  # auto-fold until the REDC provably fits int32
+            lc = lc.fold()
+            r_hi = _simulate(lc.hi)
+        h = max(r_hi)
+        steps = 0
+        while h > 4094:
+            h = LIMB_MASK + (h >> b)
+            steps += 1
+        return f.redc_cols(lc.cols, fold_steps=max(steps, 1))

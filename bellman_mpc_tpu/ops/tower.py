@@ -20,8 +20,89 @@ import jax.numpy as jnp
 
 from ..fields import tower as ht
 from ..fields.bls12_381 import P, fp
+from ..fields.limb import LIMB_MASK, LazyFp2
 
 F = fp  # device base field
+
+
+# ----------------------------------------------------- lazy-column internals
+# Tower multiplications run on the LazyCols engine (fields/limb.py): every
+# Karatsuba sub-product of an operation is computed in ONE stacked product
+# loop, ALL combines (Karatsuba recombination, xi/v foldings, Fp6/Fp12
+# schoolbook sums) are plain int32 column adds, and each output coefficient
+# costs exactly ONE Montgomery reduction (stacked).  Digit/column bounds are
+# proven at trace time.  Operands are ((c0, c1), dvec) with dvec the exact
+# per-limb digit bound.
+
+
+def _lz2_op(a):
+    return (a, F._dmax_lazy)
+
+
+def _lz2_dsum(x, y):
+    """Digit-wise sum of two Fp2 operands (folds once when digits exceed
+    the canonical range, so nested sums keep their products int32-safe)."""
+    (a, da), (b, db) = x, y
+    s0, s1 = a[0] + b[0], a[1] + b[1]
+    dv = tuple(p + q for p, q in zip(da, db))
+    if max(dv) > LIMB_MASK + 1:
+        s0, dv2 = F.fold_digits(s0, dv)
+        s1, _ = F.fold_digits(s1, dv)
+        return ((s0, s1), dv2)
+    return ((s0, s1), dv)
+
+
+def _lz2_mul_many(pairs):
+    """k unreduced Fp2 Karatsuba products via ONE (3k-lane) product loop."""
+    arrs, dms = [], []
+    for (a, da), (b, db) in pairs:
+        arrs += [(a[0], b[0]), (a[1], b[1]), (a[0] + a[1], b[0] + b[1])]
+        dms += [
+            (da, db),
+            (da, db),
+            (tuple(2 * x for x in da), tuple(2 * x for x in db)),
+        ]
+    prods = F.lazy_mul_many(arrs, dms)
+    out = []
+    for i in range(len(pairs)):
+        t0, t1, t2 = prods[3 * i : 3 * i + 3]
+        out.append(LazyFp2(t0 - t1, t2 - t0 - t1))
+    return out
+
+
+def _lz2_reduce_many(ls):
+    flat = []
+    for l in ls:
+        flat += [l.re, l.im]
+    red = F.lazy_reduce_many(flat)
+    return [(red[2 * i], red[2 * i + 1]) for i in range(len(ls))]
+
+
+def _lz6_opnd(x):
+    return tuple(_lz2_op(c) for c in x)
+
+
+def _lz6_pairs(A, B):
+    """The 6 Karatsuba Fp2 sub-products of one Fp6 multiply (operand form)."""
+    a0, a1, a2 = A
+    b0, b1, b2 = B
+    return [
+        (a0, b0),
+        (a1, b1),
+        (a2, b2),
+        (_lz2_dsum(a1, a2), _lz2_dsum(b1, b2)),
+        (_lz2_dsum(a0, a1), _lz2_dsum(b0, b1)),
+        (_lz2_dsum(a0, a2), _lz2_dsum(b0, b2)),
+    ]
+
+
+def _lz6_combine(prods):
+    """6 LazyFp2 sub-products -> (c0, c1, c2) LazyFp2 coefficients."""
+    t0, t1, t2, m12, m01, m02 = prods
+    c0 = t0 + (m12 - t1 - t2).mul_by_xi()
+    c1 = (m01 - t0 - t1) + t2.mul_by_xi()
+    c2 = (m02 - t0 - t2) + t1
+    return (c0, c1, c2)
 
 
 # ------------------------------------------------------------------------ Fp2
@@ -42,26 +123,12 @@ def fp2_conj(a):
 
 
 def fp2_mul_many(pairs):
-    """Multiply many independent Fp2 pairs through ONE Montgomery multiply.
-
-    Each Fp2 product is 3 Karatsuba Fp sub-products; stacking every pair's
-    sub-products on one batch axis turns k Fp2 multiplies into a single
-    (L, 3k, *B) limb multiply — the key lever for both XLA compile time
-    (one `while` chain instead of 3k) and TPU lane utilization.
-    """
-    k = len(pairs)
-    lhs = jnp.stack(
-        [x for (a, b) in pairs for x in (a[0], a[1], F.add(a[0], a[1]))], axis=1
+    """Multiply many independent Fp2 pairs through ONE product loop and ONE
+    stacked Montgomery reduction (lazy columns: the Karatsuba recombination
+    is plain int32 column arithmetic, no standalone carry passes)."""
+    return _lz2_reduce_many(
+        _lz2_mul_many([(_lz2_op(a), _lz2_op(b)) for a, b in pairs])
     )
-    rhs = jnp.stack(
-        [x for (a, b) in pairs for x in (b[0], b[1], F.add(b[0], b[1]))], axis=1
-    )
-    t = F.mul(lhs, rhs)
-    out = []
-    for i in range(k):
-        t0, t1, t2 = t[:, 3 * i], t[:, 3 * i + 1], t[:, 3 * i + 2]
-        out.append((F.sub(t0, t1), F.sub(t2, F.add(t0, t1))))
-    return out
 
 
 def fp2_mul(a, b):
@@ -161,7 +228,8 @@ def _fp6_mul_combine(products):
 
 
 def fp6_mul(a, b):
-    return _fp6_mul_combine(fp2_mul_many(_fp6_mul_pairs(a, b)))
+    prods = _lz2_mul_many(_lz6_pairs(_lz6_opnd(a), _lz6_opnd(b)))
+    return tuple(_lz2_reduce_many(_lz6_combine(prods)))
 
 
 def fp6_mul_by_v(a):
@@ -196,19 +264,26 @@ def fp12_add(a, b):
 
 
 def fp12_mul(a, b):
-    """Full Fp12 multiply as ONE stacked Montgomery multiply (54 products)."""
-    pairs = (
-        _fp6_mul_pairs(a[0], b[0])
-        + _fp6_mul_pairs(a[1], b[1])
-        + _fp6_mul_pairs(fp6_add(a[0], a[1]), fp6_add(b[0], b[1]))
+    """Full Fp12 multiply: ONE 54-lane product loop, int32 column combines,
+    and ONE stacked 12-lane Montgomery reduction (one per coefficient)."""
+    A0, A1 = _lz6_opnd(a[0]), _lz6_opnd(a[1])
+    B0, B1 = _lz6_opnd(b[0]), _lz6_opnd(b[1])
+    As = tuple(_lz2_dsum(x, y) for x, y in zip(A0, A1))
+    Bs = tuple(_lz2_dsum(x, y) for x, y in zip(B0, B1))
+    prods = _lz2_mul_many(
+        _lz6_pairs(A0, B0) + _lz6_pairs(A1, B1) + _lz6_pairs(As, Bs)
     )
-    prods = fp2_mul_many(pairs)
-    t0 = _fp6_mul_combine(prods[0:6])
-    t1 = _fp6_mul_combine(prods[6:12])
-    m = _fp6_mul_combine(prods[12:18])
-    c0 = fp6_add(t0, fp6_mul_by_v(t1))
-    c1 = fp6_sub(m, fp6_add(t0, t1))
-    return (c0, c1)
+    t0 = _lz6_combine(prods[0:6])
+    t1 = _lz6_combine(prods[6:12])
+    m = _lz6_combine(prods[12:18])
+    # c0 = t0 + v*t1 (v-mul rotates: (xi*x2, x0, x1)); c1 = m - t0 - t1
+    c0 = (t0[0] + t1[2].mul_by_xi(), t0[1] + t1[0], t0[2] + t1[1])
+    c1 = tuple(m[i] - t0[i] - t1[i] for i in range(3))
+    outs = _lz2_reduce_many(list(c0) + list(c1))
+    return (
+        (outs[0], outs[1], outs[2]),
+        (outs[3], outs[4], outs[5]),
+    )
 
 
 def fp12_square(a):

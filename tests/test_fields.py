@@ -110,3 +110,99 @@ def test_batch_shapes(field_pair):
     got = f.decode(out.reshape(f.L, 12))
     want = [x * y % host.p for x, y in zip(vals, vals[::-1])]
     assert got == want
+
+
+# ------------------------------------------------------------ lazy columns
+def test_lazy_mul_single(field_pair):
+    """One lazy product + reduce == the fused Montgomery multiply."""
+    f, host = field_pair
+    xs = rand_elems(host.p, 16, 7)
+    ys = rand_elems(host.p, 16, 8)
+    a = f.encode(xs)
+    b = f.encode(ys)
+    (lc,) = f.lazy_mul_many([(a, b)])
+    got = f.decode(lc.reduce())
+    assert got == [x * y % host.p for x, y in zip(xs, ys)]
+
+
+def test_lazy_accumulate_products(field_pair):
+    """sum of k products reduced ONCE == host algebra, k up to headroom."""
+    f, host = field_pair
+    p = host.p
+    rng = random.Random(11)
+    for k in (2, 4, 8):
+        xs = [[rng.randrange(p) for _ in range(8)] for _ in range(k)]
+        ys = [[rng.randrange(p) for _ in range(8)] for _ in range(k)]
+        prods = f.lazy_mul_many(
+            [(f.encode(x), f.encode(y)) for x, y in zip(xs, ys)]
+        )
+        acc = prods[0]
+        for t in prods[1:]:
+            acc = acc + t
+        got = f.decode(acc.reduce())
+        want = [
+            sum(x[i] * y[i] for x, y in zip(xs, ys)) % p for i in range(8)
+        ]
+        assert got == want
+
+
+def test_lazy_subtraction_chain(field_pair):
+    """a*b - c*d - e*g  (Karatsuba-shaped combine) reduced once."""
+    f, host = field_pair
+    p = host.p
+    rng = random.Random(13)
+    vals = [[rng.randrange(p) for _ in range(8)] for _ in range(6)]
+    ta, tb, tc = f.lazy_mul_many(
+        [
+            (f.encode(vals[0]), f.encode(vals[1])),
+            (f.encode(vals[2]), f.encode(vals[3])),
+            (f.encode(vals[4]), f.encode(vals[5])),
+        ]
+    )
+    got = f.decode((ta - tb - tc).reduce())
+    want = [
+        (vals[0][i] * vals[1][i] - vals[2][i] * vals[3][i]
+         - vals[4][i] * vals[5][i]) % p
+        for i in range(8)
+    ]
+    assert got == want
+
+
+def test_lazy_digit_sum_operands(field_pair):
+    """Raw digit-wise operand sums (no carry pass) with declared bounds."""
+    f, host = field_pair
+    p = host.p
+    rng = random.Random(17)
+    x0 = [rng.randrange(p) for _ in range(8)]
+    x1 = [rng.randrange(p) for _ in range(8)]
+    y = [rng.randrange(p) for _ in range(8)]
+    a0, a1, b = f.encode(x0), f.encode(x1), f.encode(y)
+    d2 = tuple(2 * d for d in f._dmax_lazy)
+    (lc,) = f.lazy_mul_many([(a0 + a1, b)], [(d2, f._dmax_lazy)])
+    got = f.decode(lc.reduce())
+    want = [(x0[i] + x1[i]) * y[i] % p for i in range(8)]
+    assert got == want
+
+
+def test_lazy_scale_and_reduce_many(field_pair):
+    """3*(a*b) + c*d via scale; stacked reduction of several outputs."""
+    f, host = field_pair
+    p = host.p
+    rng = random.Random(19)
+    vals = [[rng.randrange(p) for _ in range(8)] for _ in range(4)]
+    t0, t1 = f.lazy_mul_many(
+        [
+            (f.encode(vals[0]), f.encode(vals[1])),
+            (f.encode(vals[2]), f.encode(vals[3])),
+        ]
+    )
+    outs = f.lazy_reduce_many([3 * t0 + t1, t1 - t0])
+    got0, got1 = f.decode(outs[0]), f.decode(outs[1])
+    assert got0 == [
+        (3 * vals[0][i] * vals[1][i] + vals[2][i] * vals[3][i]) % p
+        for i in range(8)
+    ]
+    assert got1 == [
+        (vals[2][i] * vals[3][i] - vals[0][i] * vals[1][i]) % p
+        for i in range(8)
+    ]
