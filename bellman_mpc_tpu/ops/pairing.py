@@ -72,7 +72,8 @@ def _unstacked(s):
 
 
 def _line_eval(A, B, C, batch):
-    """Sparse line A + B w^3 + C w^5 as a full Fp12 element."""
+    """Sparse line A + B w^3 + C w^5 as a full Fp12 element (kept for
+    debugging; the Miller loop uses the sparse multiply fp12_mul_by_0bc)."""
     z = tw.fp2_zero(batch)
     return ((A, z, z), (z, B, C))
 
@@ -140,7 +141,7 @@ def miller_loop_batch(px, py, qx, qy, mask_valid):
         f, T = state
         f = tw.fp12_square(f)
         (A, B, C), T = _dbl_step(T, xp_neg3, yp2)
-        f = tw.fp12_mul(f, _line_eval(A, B, C, batch))
+        f = tw.fp12_mul_by_0bc(f, A, B, C)
         return (f, T)
 
     for run_len, then_add in _RUNS:
@@ -152,7 +153,7 @@ def miller_loop_batch(px, py, qx, qy, mask_valid):
             )
         if then_add:
             (A, B, C), T = _add_step(T, Q_stacked, qx, qy, xp_neg1, py)
-            f = tw.fp12_mul(f, _line_eval(A, B, C, batch))
+            f = tw.fp12_mul_by_0bc(f, A, B, C)
 
     f = tw.fp12_conj(f)  # x < 0
     return tw.fp12_select(mask_valid, f, tw.fp12_one(batch))
@@ -163,11 +164,12 @@ def final_exp_batch(f):
     # easy part: f^(p^6-1) then ^(p^2+1)
     f1 = tw.fp12_mul(tw.fp12_conj(f), tw.fp12_inv(f))
     f2 = tw.fp12_mul(tw.fp12_frobenius2(f1), f1)
-    # hard part ladder
+    # hard part ladder: everything here lives in the cyclotomic subgroup,
+    # so the squarings use the Granger–Scott formulas (~1.7x cheaper).
     bits = jnp.asarray([int(c) for c in bin(_HARD_EXP)[2:]], jnp.int32)
 
     def body(i, r):
-        r = tw.fp12_square(r)
+        r = tw.fp12_cyclotomic_square(r)
         return tw.fp12_select(bits[i] == 1, tw.fp12_mul(r, f2), r)
 
     batch = f[0][0][0].shape[1:]
@@ -178,7 +180,7 @@ _ABS_X_BITS_ARR = None
 
 
 def _pow_abs_x(f):
-    """f^|x| (64-iteration ladder over the BLS parameter bits)."""
+    """f^|x| for cyclotomic f (64-iteration Granger–Scott square ladder)."""
     global _ABS_X_BITS_ARR
     if _ABS_X_BITS_ARR is None:
         _ABS_X_BITS_ARR = tuple(int(c) for c in bin(ABS_X)[2:])
@@ -186,7 +188,7 @@ def _pow_abs_x(f):
     batch = f[0][0][0].shape[1:]
 
     def body(i, r):
-        r = tw.fp12_square(r)
+        r = tw.fp12_cyclotomic_square(r)
         return tw.fp12_select(bits[i] == 1, tw.fp12_mul(r, f), r)
 
     return jax.lax.fori_loop(0, bits.shape[0], body, tw.fp12_one(batch))
@@ -216,7 +218,7 @@ def final_exp_eq_batch(f):
         tw.fp12_conj(t3),
     )
     # * f2^3
-    return tw.fp12_mul(tw.fp12_mul(t4, tw.fp12_square(f2)), f2)
+    return tw.fp12_mul(tw.fp12_mul(t4, tw.fp12_cyclotomic_square(f2)), f2)
 
 
 # Verify the exponent identity exactly (host bigints, import-time).

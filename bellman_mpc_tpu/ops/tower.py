@@ -287,7 +287,118 @@ def fp12_mul(a, b):
 
 
 def fp12_square(a):
-    return fp12_mul(a, a)
+    """Complex-method squaring over Fp6: (c0+c1w)^2 via m=(c0+c1)(c0+v c1),
+    t=c0*c1, out = (m - t - v*t, 2t).  12 Fp2 product lanes instead of the
+    18 a generic multiply needs; all combines stay at the column level."""
+    c0, c1 = a
+    A0, A1 = _lz6_opnd(c0), _lz6_opnd(c1)
+    S = tuple(_lz2_dsum(x, y) for x, y in zip(A0, A1))
+    vc1 = (fp2_mul_by_xi(c1[2]), c1[0], c1[1])  # v * c1 (element level)
+    V = tuple(_lz2_dsum(x, _lz2_op(y)) for x, y in zip(A0, vc1))
+    prods = _lz2_mul_many(_lz6_pairs(A0, A1) + _lz6_pairs(S, V))
+    t = _lz6_combine(prods[0:6])
+    m = _lz6_combine(prods[6:12])
+    vt = (t[2].mul_by_xi(), t[0], t[1])
+    out0 = tuple(m[i] - t[i] - vt[i] for i in range(3))
+    out1 = tuple(2 * t[i] for i in range(3))
+    outs = _lz2_reduce_many(list(out0) + list(out1))
+    return (
+        (outs[0], outs[1], outs[2]),
+        (outs[3], outs[4], outs[5]),
+    )
+
+
+def fp12_mul_by_0bc(f, A, B, C):
+    """Sparse multiply f * (A + B w^3 + C w^5)  (the Miller-loop line shape:
+    c0 = (A,0,0), c1 = (0,B,C) in Fp6[w] coordinates).  14 Fp2 product lanes
+    instead of a generic multiply's 18."""
+    f0, f1 = f
+    el = _lz2_op
+    x0, x1, x2 = el(f0[0]), el(f0[1]), el(f0[2])
+    y0, y1, y2 = el(f1[0]), el(f1[1]), el(f1[2])
+    sA, sB, sC = el(A), el(B), el(C)
+    pairs = (
+        [(x0, sA), (x1, sA), (x2, sA)]  # t_a = f0 * (A,0,0)
+        + [  # t_b = f1 * (0,B,C), Karatsuba on the (1,2) block
+            (y1, sB),
+            (y2, sC),
+            (_lz2_dsum(y1, y2), _lz2_dsum(sB, sC)),
+            (y0, sB),
+            (y0, sC),
+        ]
+        + _lz6_pairs(  # (f0+f1) * (A,B,C)
+            (_lz2_dsum(x0, y0), _lz2_dsum(x1, y1), _lz2_dsum(x2, y2)),
+            (sA, sB, sC),
+        )
+    )
+    prods = _lz2_mul_many(pairs)
+    ta = prods[0:3]
+    t1, t2, m12, y0B, y0C = prods[3:8]
+    tb0 = (m12 - t1 - t2).mul_by_xi()  # xi*(y1 C + y2 B)
+    tb1 = y0B + t2.mul_by_xi()
+    tb2 = y0C + t1
+    mf = _lz6_combine(prods[8:14])
+    c0 = (ta[0] + tb2.mul_by_xi(), ta[1] + tb0, ta[2] + tb1)  # t_a + v*t_b
+    c1 = (
+        mf[0] - ta[0] - tb0,
+        mf[1] - ta[1] - tb1,
+        mf[2] - ta[2] - tb2,
+    )
+    outs = _lz2_reduce_many(list(c0) + list(c1))
+    return (
+        (outs[0], outs[1], outs[2]),
+        (outs[3], outs[4], outs[5]),
+    )
+
+
+def fp12_cyclotomic_square(a):
+    """Granger–Scott squaring for elements of the cyclotomic subgroup
+    G_{Phi6(p^2)} (e.g. anything after the final exponentiation's easy
+    part).  9 Fp2 squarings instead of a full multiply: one 27-lane product
+    loop + one 12-lane stacked reduction + 3 cheap element passes — ~1.7x
+    cheaper per squaring than fp12_mul(a, a), which dominates the
+    final-exp ladders (pairing-heavy ceremony verification).
+
+    Standard public formulas (Granger–Scott 2010, as implemented across
+    production pairing libraries); validated against fp12_mul on
+    easy-part outputs in tests/test_tower_device.py.
+    """
+    (c00, c01, c02), (c10, c11, c12) = a
+    el = _lz2_op
+    prods = _lz2_mul_many(
+        [
+            (el(c11), el(c11)),
+            (el(c00), el(c00)),
+            (_lz2_dsum(el(c11), el(c00)), _lz2_dsum(el(c11), el(c00))),
+            (el(c02), el(c02)),
+            (el(c10), el(c10)),
+            (_lz2_dsum(el(c02), el(c10)), _lz2_dsum(el(c02), el(c10))),
+            (el(c12), el(c12)),
+            (el(c01), el(c01)),
+            (_lz2_dsum(el(c12), el(c01)), _lz2_dsum(el(c12), el(c01))),
+        ]
+    )
+    t0, t1, s0, t2, t3, s1, t4, t5, s2 = prods
+    t6 = s0 - t0 - t1  # 2 c00 c11
+    t7 = s1 - t2 - t3  # 2 c02 c10
+    t8 = (s2 - t4 - t5).mul_by_xi()  # 2 c01 c12 * xi
+    u0 = t0.mul_by_xi() + t1  # c00^2 + xi c11^2
+    u2 = t2.mul_by_xi() + t3  # c10^2 + xi c02^2
+    u4 = t4.mul_by_xi() + t5  # c01^2 + xi c12^2
+    T0, T2, T4, T8, T6, T7 = _lz2_reduce_many(
+        [3 * u0, 3 * u2, 3 * u4, 3 * t8, 3 * t6, 3 * t7]
+    )
+    # z0j = 3u - 2c0j ; z1j = 3t + 2c1j  (one stacked double + add/sub pass)
+    sub_t = jnp.stack([T0[0], T0[1], T2[0], T2[1], T4[0], T4[1]], axis=1)
+    sub_c = jnp.stack([c00[0], c00[1], c01[0], c01[1], c02[0], c02[1]], axis=1)
+    add_t = jnp.stack([T8[0], T8[1], T6[0], T6[1], T7[0], T7[1]], axis=1)
+    add_c = jnp.stack([c10[0], c10[1], c11[0], c11[1], c12[0], c12[1]], axis=1)
+    zs = F.sub(sub_t, F.add(sub_c, sub_c))
+    za = F.add(add_t, F.add(add_c, add_c))
+    return (
+        ((zs[:, 0], zs[:, 1]), (zs[:, 2], zs[:, 3]), (zs[:, 4], zs[:, 5])),
+        ((za[:, 0], za[:, 1]), (za[:, 2], za[:, 3]), (za[:, 4], za[:, 5])),
+    )
 
 
 def fp12_conj(a):

@@ -170,14 +170,94 @@ class BatchProver:
                 return bits
             return jnp.pad(bits, ((0, 0), (0, 0), (0, n - k)))
 
-        from ..ops.msm import digits_from_bits, msm_pippenger_batched
+        from ..ops.msm import (
+            digits_from_bits,
+            msm_flat_pippenger,
+            msm_pippenger_batched,
+            msm_table,
+            shifted_bases,
+            window_tables,
+        )
 
-        use_pippenger = self.msm_strategy == "pippenger"
+        strategy = self.msm_strategy
         c_win = self.pippenger_c
 
-        def msm(ops, bases, bits):
+        if strategy == "table":
+            # Precompute T[w, b, i] = b * 2^(cw) * P_i per CRS base set
+            # (build-time device work; HBM-resident).  c=4 keeps the G1
+            # tables ~0.9 GB each; the runtime MSM is gather + tree adds.
+            # The tables are passed to the jitted step as ARGUMENTS (several
+            # GB of embedded constants breaks program serialization).
+            c_tab = min(c_win, 4)
+            self._table_c = c_tab
+            tab1 = jax.jit(
+                lambda pts: window_tables(g1_device.ops, pts, c_tab)
+            )
+            tab2 = jax.jit(
+                lambda pts: window_tables(g2_device.ops, pts, c_tab)
+            )
+            table_idx = {}
+            table_args = []
+            for crs in (
+                self.crs_h,
+                self.crs_l,
+                self.crs_a_in,
+                self.crs_a_aux,
+                self.crs_b1_in,
+                self.crs_b1_aux,
+            ):
+                if crs[0].shape[-1] >= 16 and id(crs) not in table_idx:
+                    table_idx[id(crs)] = len(table_args)
+                    table_args.append(tab1(crs))
+            for crs in (self.crs_b2_in, self.crs_b2_aux):
+                if crs[0].shape[-1] >= 16 and id(crs) not in table_idx:
+                    table_idx[id(crs)] = len(table_args)
+                    table_args.append(tab2(crs))
+            self._table_idx = table_idx
+            self._table_args = tuple(table_args)
+        else:
+            self._table_idx = {}
+            self._table_args = ()
+        table_idx = self._table_idx
+
+        if strategy == "flatpip":
+            # Pre-shift every CRS base set once (device, build time): the
+            # runtime MSM then has no doublings and no per-window loops.
+            shift = jax.jit(
+                lambda pts: shifted_bases(g1_device.ops, pts, c_win)
+            )
+            shift2 = jax.jit(
+                lambda pts: shifted_bases(g2_device.ops, pts, c_win)
+            )
+            self._sbases = {}
+            for crs in (
+                self.crs_h,
+                self.crs_l,
+                self.crs_a_in,
+                self.crs_a_aux,
+                self.crs_b1_in,
+                self.crs_b1_aux,
+            ):
+                if crs[0].shape[-1] >= 16:
+                    self._sbases[id(crs)] = shift(crs)
+            for crs in (self.crs_b2_in, self.crs_b2_aux):
+                if crs[0].shape[-1] >= 16:
+                    self._sbases[id(crs)] = shift2(crs)
+        else:
+            self._sbases = {}
+        sbases = self._sbases
+
+        def msm(ops, bases, bits, tables=()):
             # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
-            if use_pippenger and bases[0].shape[-1] >= 16:
+            if strategy == "table" and bases[0].shape[-1] >= 16:
+                digits = digits_from_bits(bits, self._table_c)
+                return msm_table(ops, tables[table_idx[id(bases)]], digits)
+            if strategy == "flatpip" and bases[0].shape[-1] >= 16:
+                digits = digits_from_bits(bits, c_win)
+                return msm_flat_pippenger(
+                    ops, sbases[id(bases)], digits, c_win
+                )
+            if strategy == "pippenger" and bases[0].shape[-1] >= 16:
                 digits = digits_from_bits(bits, c_win)
                 return msm_pippenger_batched(ops, bases, digits, c_win)
             P = tuple(c[..., None, :] for c in bases)  # broadcast over B
@@ -221,7 +301,7 @@ class BatchProver:
                 tuple(x[i] for x in outs) for i in range(len(base_list))
             ]
 
-        def step(a, b, c, wit_in, wit_aux):
+        def step(a, b, c, wit_in, wit_aux, tables=()):
             B = a.shape[1]
             h = jax.vmap(pipeline, in_axes=1, out_axes=1)(a, b, c)
             h = h[:, :, : self.m - 1]
@@ -260,14 +340,14 @@ class BatchProver:
                     [bits_h, bits_l, bits_a_aux, bits_b_aux],
                 )
             else:
-                h_pt = msm(g1o, self.crs_h, bits_h)
-                l_pt = msm(g1o, self.crs_l, bits_l)
-                a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux)
-                b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux)
-            a_in_pt = msm(g1o, self.crs_a_in, bits_a_in)
-            b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in)
-            b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in)
-            b2_aux_pt = msm(g2o, self.crs_b2_aux, bits_b_aux)
+                h_pt = msm(g1o, self.crs_h, bits_h, tables)
+                l_pt = msm(g1o, self.crs_l, bits_l, tables)
+                a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux, tables)
+                b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux, tables)
+            a_in_pt = msm(g1o, self.crs_a_in, bits_a_in, tables)
+            b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in, tables)
+            b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in, tables)
+            b2_aux_pt = msm(g2o, self.crs_b2_aux, bits_b_aux, tables)
 
             a_answer = point_add(g1o, a_in_pt, a_aux_pt)
             b1_answer = point_add(g1o, b1_in_pt, b1_aux_pt)
@@ -328,7 +408,7 @@ class BatchProver:
         LC evaluation; groth16/compiled.py)."""
         provers = [self.compiled.prove_assignment(c) for c in circuits]
         a, b, c, wit_in, wit_aux = self.encode_witness(provers)
-        g_a, g_b, g_c = self._step(a, b, c, wit_in, wit_aux)
+        g_a, g_b, g_c = self._step(a, b, c, wit_in, wit_aux, self._table_args)
         pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
         pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))
         pc = g1_device.decode_points(tuple(x[..., 0] for x in g_c))
@@ -336,4 +416,4 @@ class BatchProver:
 
     def run_step(self, *device_args):
         """Raw jitted step (for benchmarking device-only throughput)."""
-        return self._step(*device_args)
+        return self._step(*device_args, self._table_args)

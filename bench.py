@@ -28,6 +28,12 @@ def main() -> None:
     t_start = time.time()
     import jax
 
+    try:  # persistent XLA cache: repeat bench runs skip the big compiles
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # pragma: no cover - older jax
+        log(f"compilation cache unavailable: {e}")
+
     log(f"devices: {jax.devices()}")
 
     from bellman_mpc_tpu.groth16 import generate_random_parameters

@@ -39,3 +39,59 @@ def test_batch_prover_matches_sequential():
             BLS12_381, MiMCDemo(constants, xl, xr), params
         )
         assert proof == seq
+
+
+def test_batch_prover_flatpip_matches_sequential():
+    """flatpip MSM strategy produces bit-identical proofs."""
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=9, rounds=ROUNDS)
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    pvk = prepare_verifying_key(BLS12_381, params.vk)
+
+    bp = BatchProver(
+        BLS12_381,
+        params,
+        MiMCDemo(constants, 0, 0),
+        msm_strategy="flatpip",
+        pippenger_c=4,
+    )
+
+    rng = random.Random(2)
+    witnesses = [(rng.randrange(host.p), rng.randrange(host.p)) for _ in range(2)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in witnesses]
+    proofs = bp.prove_batch(circuits)
+    for (xl, xr), proof in zip(witnesses, proofs):
+        image = mimc(host, xl, xr, constants)
+        verify_proof(BLS12_381, pvk, proof, [image])
+        seq = create_random_proof(
+            BLS12_381, MiMCDemo(constants, xl, xr), params
+        )
+        assert proof == seq
+
+
+def test_batch_prover_table_matches_sequential():
+    """table MSM strategy produces bit-identical proofs."""
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=9, rounds=ROUNDS)
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    pvk = prepare_verifying_key(BLS12_381, params.vk)
+
+    bp = BatchProver(
+        BLS12_381,
+        params,
+        MiMCDemo(constants, 0, 0),
+        msm_strategy="table",
+        pippenger_c=4,
+    )
+
+    rng = random.Random(3)
+    witnesses = [(rng.randrange(host.p), rng.randrange(host.p)) for _ in range(2)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in witnesses]
+    proofs = bp.prove_batch(circuits)
+    for (xl, xr), proof in zip(witnesses, proofs):
+        image = mimc(host, xl, xr, constants)
+        verify_proof(BLS12_381, pvk, proof, [image])
+        seq = create_random_proof(
+            BLS12_381, MiMCDemo(constants, xl, xr), params
+        )
+        assert proof == seq

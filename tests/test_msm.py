@@ -92,3 +92,97 @@ def test_pippenger_duplicate_digits():
     want = chost.G1.msm(bases, scalars)
     got = msm_pippenger_host(g1_device, bases, scalars, c=8)
     assert chost.G1.eq(got, want)
+
+
+def test_flat_pippenger_matches_per_item():
+    """Flat single-scan Pippenger over pre-shifted bases (G1 and G2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bellman_mpc_tpu.curves.device import g2_device, scalars_to_bits
+    from bellman_mpc_tpu.ops.msm import (
+        digits_from_bits,
+        msm_flat_pippenger,
+        shifted_bases,
+    )
+
+    rng = random.Random(8)
+    n, B, c = 8, 2, 4
+    for group in (g1_device, g2_device):
+        bases = [
+            group.host.mul(group.host.generator, rng.randrange(1, R))
+            for _ in range(n)
+        ]
+        bases[-1] = None  # identity padding lane
+        scalar_sets = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+        scalar_sets[0][0] = 0
+        scalar_sets[1][1] = R - 1
+
+        pts = group.encode_points(bases)
+        bits = jnp.stack(
+            [scalars_to_bits(s, 255) for s in scalar_sets], axis=1
+        )  # (255, B, n)
+
+        def run(p, bt):
+            sb = shifted_bases(group.ops, p, c)
+            return msm_flat_pippenger(
+                group.ops, sb, digits_from_bits(bt, c), c
+            )
+
+        out = jax.jit(run)(pts, bits)
+        got = group.decode_points(tuple(x[..., 0] for x in out))
+        for bi in range(B):
+            want = group.host.msm(
+                [p for p in bases if p is not None],
+                [s for p, s in zip(bases, scalar_sets[bi]) if p is not None],
+            )
+            if want is None:
+                assert got[bi] is None
+            else:
+                assert group.host.eq(got[bi], want), (group.name, bi)
+
+
+def test_table_msm_matches_per_item():
+    """Gather-table MSM (precomputed window bucket tables), G1 and G2."""
+    import jax
+    import jax.numpy as jnp
+
+    from bellman_mpc_tpu.curves.device import g2_device, scalars_to_bits
+    from bellman_mpc_tpu.ops.msm import (
+        digits_from_bits,
+        msm_table,
+        window_tables,
+    )
+
+    rng = random.Random(9)
+    n, B, c = 8, 2, 4
+    for group in (g1_device, g2_device):
+        bases = [
+            group.host.mul(group.host.generator, rng.randrange(1, R))
+            for _ in range(n)
+        ]
+        bases[2] = None  # identity padding lane
+        scalar_sets = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+        scalar_sets[0][0] = 0
+        scalar_sets[1][1] = R - 1
+
+        pts = group.encode_points(bases)
+        bits = jnp.stack(
+            [scalars_to_bits(s, 255) for s in scalar_sets], axis=1
+        )
+
+        def run(p, bt):
+            tab = window_tables(group.ops, p, c)
+            return msm_table(group.ops, tab, digits_from_bits(bt, c))
+
+        out = jax.jit(run)(pts, bits)
+        got = group.decode_points(tuple(x[..., 0] for x in out))
+        for bi in range(B):
+            want = group.host.msm(
+                [p for p in bases if p is not None],
+                [s for p, s in zip(bases, scalar_sets[bi]) if p is not None],
+            )
+            if want is None:
+                assert got[bi] is None
+            else:
+                assert group.host.eq(got[bi], want), (group.name, bi)

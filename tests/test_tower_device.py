@@ -107,3 +107,34 @@ def test_fp12_inv_and_frobenius_lazy_substrate():
     fr = dt.fp12_decode(jax.jit(dt.fp12_frobenius)(a))
     for i in range(N):
         assert fr[i] == ht.fp12_pow(xs[i], P)
+
+
+def test_fp12_cyclotomic_square():
+    """GS squaring == generic squaring on cyclotomic-subgroup elements."""
+    rng = random.Random(106)
+    xs = [_rand_fp12(rng) for _ in range(N)]
+    # easy part on the host: f^((p^6-1)(p^2+1)) lands in G_{Phi6(p^2)}
+    cyc = []
+    for x in xs:
+        f1 = ht.fp12_mul(ht.fp12_conj(x), ht.fp12_inv(x))
+        cyc.append(ht.fp12_mul(ht.fp12_pow(f1, P * P), f1))
+    a = _enc12(cyc)
+    got = dt.fp12_decode(jax.jit(dt.fp12_cyclotomic_square)(a))
+    for i in range(N):
+        assert got[i] == ht.fp12_mul(cyc[i], cyc[i]), i
+
+
+def test_fp12_mul_by_0bc_sparse():
+    """Sparse line multiply == generic multiply by (A,0,0),(0,B,C)."""
+    rng = random.Random(107)
+    fs = [_rand_fp12(rng) for _ in range(N)]
+    abcs = [tuple(_rand_fp2(rng) for _ in range(3)) for _ in range(N)]
+    f = _enc12(fs)
+    A = dt.fp2_encode([x[0] for x in abcs])
+    B = dt.fp2_encode([x[1] for x in abcs])
+    C = dt.fp2_encode([x[2] for x in abcs])
+    got = dt.fp12_decode(jax.jit(dt.fp12_mul_by_0bc)(f, A, B, C))
+    for i in range(N):
+        a, b, c = abcs[i]
+        sparse = ((a, (0, 0), (0, 0)), ((0, 0), b, c))
+        assert got[i] == ht.fp12_mul(fs[i], sparse), i
