@@ -425,10 +425,14 @@ class LimbField:
             values = [v % p for v in values]
         n = len(values)
         raw = b"".join(v.to_bytes(self.nbytes, "little") for v in values)
-        u = np.frombuffer(raw, np.uint8).reshape(n, self.nbytes).astype(np.int32)
-        u = np.pad(u, ((0, 0), (0, 2)))  # 3-byte reads never run off the end
-        j = self._byte_idx
-        chunk = u[:, j] | (u[:, j + 1] << 8) | (u[:, j + 2] << 16)  # (N, L)
+        u = np.frombuffer(raw, np.uint8).reshape(n, self.nbytes)
+        u = np.concatenate([u, np.zeros((n, 2), np.uint8)], axis=1)
+        j = self._byte_idx  # gather narrow u8 columns, then widen (fast path)
+        chunk = (
+            u[:, j].astype(np.int32)
+            + (u[:, j + 1].astype(np.int32) << 8)
+            + (u[:, j + 2].astype(np.int32) << 16)
+        )  # (N, L)
         limbs = (chunk >> self._bit_shift) & LIMB_MASK
         return jnp.asarray(limbs.T.astype(np.int32))
 
@@ -458,6 +462,25 @@ class LimbField:
 
     def decode_one(self, arr, mont: bool = True) -> int:
         return self.decode(arr.reshape(self.L, 1), mont=mont)[0]
+
+    def pack_std(self, values: Sequence[int]) -> np.ndarray:
+        """Host ints -> (N, nbytes) uint8 (standard form, minimal wire size).
+
+        Pairs with `unpack_device`: the byte->limb fan-out runs on device, so
+        host->device transfers move 8*nbytes bits per element instead of
+        32*L (a ~3.4x cut — significant when the device link is a tunnel).
+        """
+        p = self.p
+        raw = b"".join((v % p).to_bytes(self.nbytes, "little") for v in values)
+        return np.frombuffer(raw, np.uint8).reshape(len(values), self.nbytes)
+
+    def unpack_device(self, u8: jnp.ndarray) -> jnp.ndarray:
+        """(N, nbytes) uint8 device array -> (L, N) canonical std-form limbs."""
+        u = jnp.pad(u8, ((0, 0), (0, 2))).astype(jnp.int32)
+        j = jnp.asarray(self._byte_idx, jnp.int32)
+        chunk = u[:, j] | (u[:, j + 1] << 8) | (u[:, j + 2] << 16)  # (N, L)
+        shifts = jnp.asarray(self._bit_shift, jnp.int32)
+        return ((chunk >> shifts) & LIMB_MASK).T
 
     def __repr__(self) -> str:
         return f"LimbField({self.name}, L={self.L}, bits={self.p.bit_length()})"

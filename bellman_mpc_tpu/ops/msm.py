@@ -417,51 +417,40 @@ def window_tables(ops, points: Point, c: int, nbits: int = 255) -> Point:
 
 
 def msm_table(ops, tables: Point, digits: jnp.ndarray) -> Point:
-    """MSM from precomputed window tables: gather + balanced adds.
+    """MSM from precomputed window tables: per-window gather + accumulate.
 
     tables: (L, [2,] W, 2^c, N) from `window_tables`; digits: (W, B, N).
-    Returns (L, [2,] B, 1).  Work: B*N*(W-1) + B*(N-1) point additions in
-    ~log2(W) + log2(N) full-width vector passes — ~8x fewer group ops than
-    the 255-step ladder at c=4, with zero data-dependent control flow.
+    Returns (L, [2,] B, 1).  Work: B*N*W + B*(N-1) point additions — ~4x
+    fewer group ops than the 255-step ladder at c=4 and zero doublings.
+
+    The window fold runs SEQUENTIALLY at (B, N) lane width: one point
+    addition per window inside a fori_loop.  Measured on TPU v5e, wide
+    point ops (e.g. a (W/2, B, N)-lane tree level) spill the loop-carried
+    limb accumulators out of VMEM and run ~15x below the VPU's roofline,
+    while (B, N)-wide ops stay VMEM-resident — sequential-narrow beats
+    parallel-wide here.
     """
     W, B, N = digits.shape
     coord_rank = tables[0].ndim  # 4 (G1) or 5 (G2)
-
-    # gather bucket entries: out[..., w, b_, i] = T[..., w, digits[w,b_,i], i]
     idx = digits.reshape((1,) * (coord_rank - 3) + (W, B, N))
     ind = idx[..., None, :]  # (1, [1,] W, B, 1, N)
 
-    def gather(x):
-        xb = x[..., None, :]  # (L, [2,] W, nb, 1, N)
-        return jnp.take_along_axis(xb, ind, axis=-3)[..., 0, :]
-
-    picked = tuple(gather(x) for x in tables)  # (L, [2,] W, B, N)
-
-    # fold the W axis pairwise (power-of-two padded)
-    Wp = _pad_pow2(W)
-    if Wp != W:
-        ident = point_identity(ops, (Wp - W, B, N))
+    def body(w, acc):
+        tab_w = tuple(
+            jax.lax.dynamic_index_in_dim(x, w, x.ndim - 3, keepdims=False)
+            for x in tables
+        )  # (L, [2,] nb, N)
+        ind_w = jax.lax.dynamic_index_in_dim(
+            ind, w, ind.ndim - 4, keepdims=False
+        )  # (1, [1,] B, 1, N)
         picked = tuple(
-            jnp.concatenate([x, i_], axis=-3)
-            for x, i_ in zip(picked, ident)
-        )
-    X, Y, Z = picked
-    n = Wp
-    while n > 1:
-        half = n // 2
-        left = (
-            X[..., :half, :, :],
-            Y[..., :half, :, :],
-            Z[..., :half, :, :],
-        )
-        right = (
-            X[..., half:, :, :],
-            Y[..., half:, :, :],
-            Z[..., half:, :, :],
-        )
-        X, Y, Z = point_add(ops, left, right)
-        n = half
-    return tree_reduce(ops, (X[..., 0, :, :], Y[..., 0, :, :], Z[..., 0, :, :]))
+            jnp.take_along_axis(x[..., None, :], ind_w, axis=-3)[..., 0, :]
+            for x in tab_w
+        )  # (L, [2,] B, N)
+        return point_add(ops, acc, picked)
+
+    acc = jax.lax.fori_loop(0, W, body, point_identity(ops, (B, N)))
+    return tree_reduce(ops, acc)
 
 
 def digits_from_bits(bits: jnp.ndarray, c: int) -> jnp.ndarray:

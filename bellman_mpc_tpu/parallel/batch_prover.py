@@ -49,15 +49,20 @@ from ..r1cs.core import Circuit
 NBITS = 255  # Fr scalar bits fed to ladders
 
 
-def bits_from_mont(field: LimbField, x: jnp.ndarray) -> jnp.ndarray:
-    """(L, *S) Montgomery limbs -> (NBITS, *S) bits, MSB first, on device."""
-    std = field.canon(field.mul(x, field._bc(field.one_limbs, x)))  # from Mont
+def bits_from_std(field: LimbField, std: jnp.ndarray) -> jnp.ndarray:
+    """(L, *S) canonical std-form limbs -> (NBITS, *S) bits, MSB first."""
     shifts = jnp.arange(LIMB_BITS, dtype=jnp.int32).reshape(
         (1, LIMB_BITS) + (1,) * (std.ndim - 1)
     )
-    bits = (std[:, None] >> shifts) & 1  # (L, 12, *S) LSB-first per limb
+    bits = (std[:, None] >> shifts) & 1  # (L, b, *S) LSB-first per limb
     flat = bits.reshape((field.L * LIMB_BITS,) + std.shape[1:])
     return flat[NBITS - 1 :: -1]  # restrict to NBITS and flip to MSB-first
+
+
+def bits_from_mont(field: LimbField, x: jnp.ndarray) -> jnp.ndarray:
+    """(L, *S) Montgomery limbs -> (NBITS, *S) bits, MSB first, on device."""
+    std = field.canon(field.mul(x, field._bc(field.one_limbs, x)))  # from Mont
+    return bits_from_std(field, std)
 
 
 def _pad_pow2_int(n: int) -> int:
@@ -85,11 +90,11 @@ class BatchProver:
         self.fr = engine.fr
         self.params = params
         if msm_strategy == "auto":
-            # Pippenger's associative-scan programs compile poorly on CPU XLA
-            # (see DESIGN-NOTES.md); the ladder keeps CPU tests fast.
+            # The gather-table MSM is the measured-fastest strategy on TPU
+            # (DESIGN-NOTES.md); the ladder keeps CPU tests fast to compile.
             import jax as _jax
 
-            msm_strategy = "pippenger" if _jax.default_backend() != "cpu" else "ladder"
+            msm_strategy = "table" if _jax.default_backend() != "cpu" else "ladder"
         self.msm_strategy = msm_strategy
         self.pippenger_c = pippenger_c
         # One vmapped body for the 4 large G1 MSMs: ~4x cheaper to compile
@@ -147,8 +152,11 @@ class BatchProver:
             hostg1.add(hostg1.mul(vk.alpha_g1, s), hostg1.mul(vk.beta_g1, r)),
         )
         self.gc_const = g1_device.encode_points([gc])
-        self.s_bits = scalars_to_bits([s], NBITS)[:, 0]
-        self.r_bits = scalars_to_bits([r], NBITS)[:, 0]
+        # blinding-scalar ladders only need the scalars' true bit length
+        # (15 bits for the reference's deterministic r/s — a 17x shorter
+        # ladder than the generic 255-bit path)
+        self.s_bits = scalars_to_bits([s], max(s.bit_length(), 1))[:, 0]
+        self.r_bits = scalars_to_bits([r], max(r.bit_length(), 1))[:, 0]
 
         warm_twiddles(self.fr, engine.fr_host, self.exp)
         from ..groth16.compiled import CompiledCircuit
@@ -206,11 +214,11 @@ class BatchProver:
                 self.crs_b1_in,
                 self.crs_b1_aux,
             ):
-                if crs[0].shape[-1] >= 16 and id(crs) not in table_idx:
+                if id(crs) not in table_idx:
                     table_idx[id(crs)] = len(table_args)
                     table_args.append(tab1(crs))
             for crs in (self.crs_b2_in, self.crs_b2_aux):
-                if crs[0].shape[-1] >= 16 and id(crs) not in table_idx:
+                if id(crs) not in table_idx:
                     table_idx[id(crs)] = len(table_args)
                     table_args.append(tab2(crs))
             self._table_idx = table_idx
@@ -249,7 +257,7 @@ class BatchProver:
 
         def msm(ops, bases, bits, tables=()):
             # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
-            if strategy == "table" and bases[0].shape[-1] >= 16:
+            if strategy == "table":
                 digits = digits_from_bits(bits, self._table_c)
                 return msm_table(ops, tables[table_idx[id(bases)]], digits)
             if strategy == "flatpip" and bases[0].shape[-1] >= 16:
@@ -301,14 +309,29 @@ class BatchProver:
                 tuple(x[i] for x in outs) for i in range(len(base_list))
             ]
 
-        def step(a, b, c, wit_in, wit_aux, tables=()):
-            B = a.shape[1]
+        def step(a8, b8, c8, wit_in8, wit_aux8, tables=()):
+            # inputs arrive as PACKED std-form bytes (B, k, nbytes) — the
+            # byte->limb fan-out and Montgomery conversion run on device so
+            # the host->device link moves ~3.4x fewer bytes.
+            B = a8.shape[0]
+
+            def unpack(x8):
+                B_, k, nb = x8.shape
+                limbs = fr.unpack_device(x8.reshape(B_ * k, nb))
+                return limbs.reshape(fr.L, B_, k)
+
+            abc = fr.to_mont(
+                jnp.stack([unpack(a8), unpack(b8), unpack(c8)], axis=1)
+            )  # (L, 3, B, m) Montgomery
+            a, b, c = abc[:, 0], abc[:, 1], abc[:, 2]
+            wit_in = unpack(wit_in8)  # std form: bits extract directly
+            wit_aux = unpack(wit_aux8)
             h = jax.vmap(pipeline, in_axes=1, out_axes=1)(a, b, c)
             h = h[:, :, : self.m - 1]
 
             bits_h = pad_scalars(bits_from_mont(fr, h), self.h_n)
-            bits_aux = bits_from_mont(fr, wit_aux)
-            bits_in = bits_from_mont(fr, wit_in)
+            bits_aux = bits_from_std(fr, wit_aux)
+            bits_in = bits_from_std(fr, wit_in)
             bits_a_aux = pad_scalars(
                 bits_aux[:, :, jnp.asarray(self.a_aux_idx, jnp.int32)]
                 if self.a_aux_idx
@@ -364,10 +387,10 @@ class BatchProver:
             g_b = point_add(g2o, bconst(self.gb_const), b2_answer)
 
             s_bits = jnp.broadcast_to(
-                self.s_bits[:, None, None], (NBITS, B, 1)
+                self.s_bits[:, None, None], (self.s_bits.shape[0], B, 1)
             )
             r_bits = jnp.broadcast_to(
-                self.r_bits[:, None, None], (NBITS, B, 1)
+                self.r_bits[:, None, None], (self.r_bits.shape[0], B, 1)
             )
             a_s = scalar_mul_bits(g1o, a_answer, s_bits)
             b1_r = scalar_mul_bits(g1o, b1_answer, r_bits)
@@ -383,7 +406,10 @@ class BatchProver:
 
     # ------------------------------------------------------------- host APIs
     def encode_witness(self, provers) -> Tuple[jnp.ndarray, ...]:
-        """Host ProvingAssignments -> device (L, B, *) tensors."""
+        """Host ProvingAssignments -> packed std-form byte tensors.
+
+        Wire format (B, k, nbytes) uint8; the device step unpacks to limbs
+        and Montgomery-converts on device (minimal host->device traffic)."""
         fr = self.fr
         m = self.m
 
@@ -391,8 +417,8 @@ class BatchProver:
             flat = []
             for row in rows:
                 flat.extend(list(row) + [0] * (width - len(row)))
-            arr = fr.encode(flat)  # (L, B*width)
-            return arr.reshape(fr.L, len(rows), width)
+            u8 = fr.pack_std(flat)  # (B*width, nbytes)
+            return jnp.asarray(u8.reshape(len(rows), width, fr.nbytes))
 
         a = enc([p.a for p in provers], m)
         b = enc([p.b for p in provers], m)
