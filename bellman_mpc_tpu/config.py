@@ -5,11 +5,18 @@ bellman/Cargo.toml:39-42), the RAYON_NUM_THREADS env var and a toolchain
 pin; the TPU framework's knobs live here, overridable by environment:
 
   BMT_NUM_THREADS      host worker threads (parallel/worker.py)
-  BMT_MSM_STRATEGY     "auto" | "ladder" | "pippenger"
-  BMT_PIPPENGER_C      window bits for Pippenger (default 8)
+  BMT_MSM_STRATEGY     "auto" | "ladder" | "table" | "pippenger" | "flatpip"
+                       (auto = table on TPU, ladder on CPU; see
+                       DESIGN-NOTES.md "Measured TPU performance model")
+  BMT_PIPPENGER_C      window bits for Pippenger buckets (default 8)
+  BMT_TABLE_C          window bits for the gather-table MSM (default 4)
   BMT_MESH_SHAPE       "data,model" extents for make_mesh, e.g. "4,2"
   BMT_DETERMINISTIC    "1" (default) keeps the fork's fixed trapdoor/blinding
   BMT_TEST_TPU         run the test-suite on the real chip
+  BMT_BENCH_B          bench.py proof-batch size (default 16)
+  BMT_CARRIES          "scan" | "flat" carry-strategy override (fields/limb)
+  BMT_FIXED_BASE       "comb" opts into comb-table fixed-base multiplication
+  BMT_STACK_MSMS       "1" stacks the prove-step G1 MSMs into one vmap body
 """
 
 from __future__ import annotations

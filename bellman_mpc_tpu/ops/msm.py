@@ -62,16 +62,19 @@ def _jit_msm_ladder(group: DeviceGroup, n: int, nbits: int):
 def msm_host(group: DeviceGroup, bases: Sequence, scalars: Sequence[int]) -> object:
     """Host-facing MSM: affine host points + int scalars -> host point.
 
-    Pads to a power of two with identities; Pippenger on the TPU backend for
-    larger sets, ladder otherwise (CPU XLA compiles the scan-heavy Pippenger
-    program slowly — see DESIGN-NOTES.md).
+    Pads to a power of two with identities.  One-shot MSMs use the ladder:
+    on the real chip the sorted-scan Pippenger measured slower than plain
+    ladders (DESIGN-NOTES.md "Measured TPU performance model"), and the
+    gather-table kernel only pays off when the base set is reused (the
+    batched prover precomputes tables per CRS).  BMT_MSM_STRATEGY=pippenger
+    opts back in for experiments.
     """
     n = len(bases)
     if n == 0:
         return None
-    import jax as _jax
+    import os as _os
 
-    if n >= 64 and _jax.default_backend() != "cpu":
+    if n >= 64 and _os.environ.get("BMT_MSM_STRATEGY") == "pippenger":
         return msm_pippenger_host(group, bases, scalars, c=8)
     nbits = max(s.bit_length() for s in scalars) if scalars else 1
     nbits = max(nbits, 1)

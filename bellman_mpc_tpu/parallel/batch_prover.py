@@ -196,7 +196,9 @@ class BatchProver:
             # tables ~0.9 GB each; the runtime MSM is gather + tree adds.
             # The tables are passed to the jitted step as ARGUMENTS (several
             # GB of embedded constants breaks program serialization).
-            c_tab = min(c_win, 4)
+            import os as _os
+
+            c_tab = int(_os.environ.get("BMT_TABLE_C", "0")) or min(c_win, 4)
             self._table_c = c_tab
             tab1 = jax.jit(
                 lambda pts: window_tables(g1_device.ops, pts, c_tab)

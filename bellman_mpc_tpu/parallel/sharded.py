@@ -66,6 +66,44 @@ def sharded_msm(mesh: Mesh, ops, points, bits):
     return fn(points[0], points[1], points[2], bits)
 
 
+def sharded_msm_table(mesh: Mesh, ops, tables, digits):
+    """Gather-table MSM (ops.msm.msm_table) with the base axis sharded over
+    the "model" mesh axis and proofs over "data".
+
+    tables: coord tuple (L, [2,] W, 2^c, N) from `window_tables` (the N axis
+    is sharded); digits: (W, B, N).  Each device folds its base shard with
+    the single-chip kernel, then partials combine with an all_gather over
+    ICI + a log-depth group-add tree (group addition is not psum-able).
+    """
+    from ..ops.msm import msm_table
+
+    n_model = mesh.shape["model"]
+    coord_rank = tables[0].ndim  # 4 (G1) or 5 (G2)
+    base_spec = P(*([None] * (coord_rank - 1) + ["model"]))
+    digit_spec = P(None, "data", "model")
+    out_spec = P(*([None] * (coord_rank - 3) + ["data", None]))
+
+    def local(tx, ty, tz, dig):
+        part = msm_table(ops, (tx, ty, tz), dig)  # (L, [2,] B_loc, 1)
+        gathered = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, "model"), part
+        )
+        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
+        for k in range(1, n_model):
+            nxt = jax.tree_util.tree_map(lambda x, k=k: x[k], gathered)
+            acc = point_add(ops, acc, nxt)
+        return acc
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(base_spec, base_spec, base_spec, digit_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(tables[0], tables[1], tables[2], digits)
+
+
 def sharded_ntt(mesh: Mesh, field, host, x, inverse: bool = False):
     """Distributed radix-2 NTT via the 4-step (N1 x N2) decomposition.
 

@@ -60,7 +60,7 @@ def main() -> None:
     )
     log(f"batch prover built in {time.time() - t0:.1f}s (msm={strategy})")
 
-    B = 16
+    B = int(os.environ.get("BMT_BENCH_B", "16"))
     import random
 
     rng = random.Random(0)
@@ -91,6 +91,26 @@ def main() -> None:
     t_device = (time.time() - t0) / iters
     log(f"device step steady-state {t_device:.3f}s for B={B}")
 
+    # Sustained pipelined throughput: host synthesis/encode of batch k+1
+    # overlaps the device step of batch k (JAX async dispatch) — the real
+    # serving shape.
+    n_batches = 4
+    batch_wit = [
+        [(rng.randrange(host.p), rng.randrange(host.p)) for _ in range(B)]
+        for _ in range(n_batches)
+    ]
+    t0 = time.time()
+    outs = []
+    for wits in batch_wit:
+        provers = [
+            bp.compiled.prove_assignment(MiMCDemo(constants, xl, xr))
+            for xl, xr in wits
+        ]
+        outs.append(bp.run_step(*bp.encode_witness(provers)))
+    jax.block_until_ready(outs)
+    t_sustained = (time.time() - t0) / n_batches
+    log(f"pipelined sustained {t_sustained:.3f}s/batch for B={B}")
+
     # Decode + verify one proof for sanity.
     from bellman_mpc_tpu.curves.device import g1_device, g2_device
     from bellman_mpc_tpu.groth16.types import Proof
@@ -104,13 +124,13 @@ def main() -> None:
     verify_proof(BLS12_381, pvk, Proof(a=pa[0], b=pb[0], c=pc[0]), [image0])
     log("proof verification: OK")
 
-    # End-to-end throughput (synthesis + encode + device, amortized).
-    e2e_per_proof = (t_synth + t_encode + t_device) / B
-    device_per_proof = t_device / B
-    throughput = 1.0 / e2e_per_proof
+    # End-to-end throughput: pipelined host+device (sustained), with the
+    # serial sum as a cross-check lower bound.
+    serial_throughput = B / (t_synth + t_encode + t_device)
+    throughput = B / t_sustained
     log(
-        f"e2e {throughput:.2f} proofs/s (device-only {1.0 / device_per_proof:.2f}); "
-        f"total bench wall {time.time() - t_start:.0f}s"
+        f"e2e sustained {throughput:.2f} proofs/s (serial {serial_throughput:.2f}, "
+        f"device-only {B / t_device:.2f}); total bench wall {time.time() - t_start:.0f}s"
     )
 
     print(

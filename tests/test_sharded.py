@@ -62,3 +62,25 @@ def test_sharded_msm_matches_host():
     got = g1_device.decode_points(tuple(x[..., 0] for x in out))
     for b in range(2):
         assert chost.G1.eq(got[b], chost.G1.msm(bases, scalars[b]))
+
+
+@needs_devices
+def test_sharded_table_msm_matches_host():
+    """Mesh-sharded gather-table MSM (the TPU-default strategy, sharded)."""
+    from bellman_mpc_tpu.ops.msm import digits_from_bits, window_tables
+    from bellman_mpc_tpu.parallel.sharded import sharded_msm_table
+
+    rng = random.Random(5)
+    n, B, c = 16, 2, 4
+    bases = [chost.G1.mul(chost.G1.generator, k + 5) for k in range(n)]
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+    pts = g1_device.encode_points(bases)
+    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+    tables = jax.jit(lambda p: window_tables(g1_device.ops, p, c))(pts)
+    digits = digits_from_bits(bits, c)
+    mesh = make_mesh(8, shape=(2, 4))
+    with mesh:
+        out = sharded_msm_table(mesh, g1_device.ops, tables, digits)
+    got = g1_device.decode_points(tuple(x[..., 0] for x in out))
+    for b in range(B):
+        assert chost.G1.eq(got[b], chost.G1.msm(bases, scalars[b]))
