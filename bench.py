@@ -53,7 +53,7 @@ def main() -> None:
 
     import os
 
-    strategy = os.environ.get("BMT_MSM_STRATEGY", "ladder")
+    strategy = os.environ.get("BMT_MSM_STRATEGY", "auto")
     t0 = time.time()
     bp = BatchProver(
         BLS12_381, params, MiMCDemo(constants, 0, 0), msm_strategy=strategy
