@@ -60,6 +60,20 @@ class _BlsGroup(GroupAPI):
             return [self.mul(base, e) for e in exps]
         return batch_mul_host(self.device, base, [e % bc.R for e in exps])
 
+    def intt(self, points, host):
+        """Group iNTT on device (ops/group_ntt.py) for ceremony-scale lists."""
+        if len(points) <= 4:  # host butterflies beat a device dispatch
+            return super().intt(points, host)
+        import jax
+
+        from ..ops.group_ntt import group_ntt
+
+        enc = self.device.encode_points(list(points))
+        out = jax.jit(
+            lambda p: group_ntt(self.device.ops, host, p, inverse=True)
+        )(enc)
+        return self.device.decode_points(out)
+
     def msm(self, bases, scalars, density: Optional[Sequence[bool]] = None):
         # density contract of multiexp.rs:88-157 (see GroupAPI.msm)
         dense_bases, dense_scalars = [], []

@@ -83,6 +83,49 @@ class GroupAPI:
             acc = self.add(acc, self.mul(base, s))
         return acc
 
+    def intt(self, points: Sequence, host: PrimeField) -> List:
+        """Inverse NTT over GROUP elements (radix-2, length a power of two).
+
+        The Lagrange transform of a powers-of-tau ceremony:
+        intt([tau^i * G]) == [L_j(tau) * G] without anyone knowing tau —
+        the group instance of the reference's EvaluationDomain Group trait
+        (bellman/src/domain.rs:192-259).  Host Cooley-Tukey by default;
+        the BLS12-381 groups override with the device kernel
+        (ops/group_ntt.py).
+        """
+        n = len(points)
+        exp = n.bit_length() - 1
+        assert 1 << exp == n, "group iNTT length must be a power of two"
+        if n == 1:
+            return list(points)
+        omega = host.inv(host.nth_root_of_unity(exp))
+        rev = _bitrev_list(n)
+        x = [points[r] for r in rev]
+        for s in range(1, exp + 1):
+            m = 1 << s
+            half = m >> 1
+            step = n >> s
+            for base in range(0, n, m):
+                for j in range(half):
+                    w = pow(omega, step * j, host.p)
+                    u = x[base + j]
+                    v = self.mul(x[base + j + half], w)
+                    x[base + j] = self.add(u, v)
+                    x[base + j + half] = self.add(u, self.neg(v))
+        n_inv = host.inv(n)
+        return [self.mul(p, n_inv) for p in x]
+
+
+def _bitrev_list(n: int) -> List[int]:
+    k = n.bit_length() - 1
+    out = []
+    for i in range(n):
+        r = 0
+        for b in range(k):
+            r = (r << 1) | ((i >> b) & 1)
+        out.append(r)
+    return out
+
 
 class Engine:
     """A pairing engine: scalar field + two source groups + pairing."""

@@ -601,6 +601,85 @@ def matrix_storage(
     )
 
 
+def matrix_storage_lagrange(
+    storage: CommonParamterInStorage,
+    engine: Engine,
+    at_inputs,
+    bt_inputs,
+    ct_inputs,
+    at_aux,
+    bt_aux,
+    ct_aux,
+    num_constraints: int,
+) -> CommonParamterMatrix:
+    """SOUND QAP projection of phase-1 output: Lagrange basis.
+
+    The reference ceremony projects QAP columns in the POWER basis
+    (mpc.rs:442-445) — structurally faithful but not the basis the actual
+    Groth16 generator evaluates in (generator.rs:400-402 iFFTs the tau
+    powers into Lagrange coefficients first).  This variant applies the
+    group iNTT (engine.g1.intt / ops/group_ntt.py) to the tau-power point
+    vectors so the projected per-variable points equal the direct
+    generator's CRS elements exactly:
+
+        u_i(tau)*G = sum_j at[i]=(coeff, j) -> coeff * (L_j(tau)*G)
+
+    with L_j(tau)*G = iNTT([tau^k G])_j over the 2^exp >= num_constraints
+    evaluation domain, and the H basis tau^j*t(tau) = tau^(m+j) - tau^j
+    (t(X) = X^m - 1) straight from the power list.  Requires
+    len(storage.tau_*) >= 2m - 1.
+    """
+    from ..ops.domain import domain_size_for
+
+    m, _exp = domain_size_for(num_constraints, engine.fr_host)
+    if len(storage.tau_g1) < 2 * m - 1:
+        raise CeremonyError(
+            "tau-power list too short: Lagrange matrix needs >= 2m-1 powers"
+        )
+    host = engine.fr_host
+    lag = {
+        "tau_g1": engine.g1.intt(storage.tau_g1[:m], host),
+        "tau_g2": engine.g2.intt(storage.tau_g2[:m], host),
+        "a_g1": engine.g1.intt(storage.alpha_mul_tau_g1[:m], host),
+        "a_g2": engine.g2.intt(storage.alpha_mul_tau_g2[:m], host),
+        "b_g1": engine.g1.intt(storage.beta_mul_tau_g1[:m], host),
+        "b_g2": engine.g2.intt(storage.beta_mul_tau_g2[:m], host),
+    }
+
+    def project(at, bt, ct):
+        a_g1, a_g2 = list_mul_matrix(engine, lag["a_g1"], lag["a_g2"], bt)
+        b_g1, b_g2 = list_mul_matrix(engine, lag["b_g1"], lag["b_g2"], at)
+        t_g1, t_g2 = list_mul_matrix(engine, lag["tau_g1"], lag["tau_g2"], ct)
+        g1s = [
+            engine.g1.add(engine.g1.add(a, b), t)
+            for a, b, t in zip(a_g1, b_g1, t_g1)
+        ]
+        g2s = [
+            engine.g2.add(engine.g2.add(a, b), t)
+            for a, b, t in zip(a_g2, b_g2, t_g2)
+        ]
+        return g1s, g2s
+
+    front_g1, front_g2 = project(at_inputs, bt_inputs, ct_inputs)
+    back_g1, back_g2 = project(at_aux, bt_aux, ct_aux)
+    h_g1 = [
+        engine.g1.add(storage.tau_g1[m + i], engine.g1.neg(storage.tau_g1[i]))
+        for i in range(m - 1)
+    ]
+    h_g2 = [
+        engine.g2.add(storage.tau_g2[m + i], engine.g2.neg(storage.tau_g2[i]))
+        for i in range(m - 1)
+    ]
+    return CommonParamterMatrix(
+        matrixed_g1_front=front_g1,
+        matrixed_g2_front=front_g2,
+        matrixed_g1_back=back_g1,
+        matrixed_g2_back=back_g2,
+        matrixed_h_g1=h_g1,
+        matrixed_h_g2=h_g2,
+    )
+
+
 # ------------------------------------------------------------------- phase 2
 def initial_uncommon_paramters(
     engine: Engine, m: CommonParamterMatrix
@@ -719,33 +798,60 @@ def mpc_uncommon_paramters_custom_all(
 
 # ------------------------------------------------------- ceremony-only setup
 def generate_parameters_mpc(
-    engine: Engine, circuit: Circuit, g1=None, g2=None
+    engine: Engine, circuit: Circuit, g1=None, g2=None, basis: str = "power"
 ) -> Parameters:
     """Build Parameters purely from ceremony output (generator.rs:163-237).
 
     The reference leaves the A/B queries as empty (filtered-identity) vectors
-    — incomplete; here they are completed from the phase-1 tau powers in the
-    same power-basis convention as the rest of the ceremony output (the form
-    generator.rs clearly intends).  Note the ceremony CRS uses the power
-    basis (see module docstring), so it is structurally complete but NOT
-    interchangeable with the Lagrange-basis CRS of generate_parameters.
+    — incomplete; here they are completed from the phase-1 tau powers.
+
+    basis="power" (default): the reference's convention — QAP columns
+    projected onto raw tau powers (mpc.rs:442-445).  Structurally complete
+    but NOT interchangeable with the Lagrange-basis CRS of
+    generate_parameters.
+
+    basis="lagrange": the SOUND convention — phase-1 tau-power points are
+    group-iNTT'd into Lagrange-coefficient points first
+    (matrix_storage_lagrange), so under the canned ceremony secrets
+    (totals alpha=6, beta=24, tau=2, gamma=6, delta=24 — exactly the
+    deterministic trapdoor, generator.rs:32-39) the output equals
+    generate_parameters' CRS element for element, and proofs built from it
+    verify under either key.
     """
     from .generator import synthesize_keypair
 
+    assert basis in ("power", "lagrange")
+    from ..ops.domain import domain_size_for
+
     assembly = synthesize_keypair(engine, circuit)
     n = assembly.num_constraints
-    cp = mpc_common_paramters_custom_all(engine, length=2 * n)
-    cp_m = matrix_storage(
-        cp,
-        engine,
-        assembly.at_inputs,
-        assembly.bt_inputs,
-        assembly.ct_inputs,
-        assembly.at_aux,
-        assembly.bt_aux,
-        assembly.ct_aux,
-        n,
-    )
+    if basis == "lagrange":
+        m, _exp = domain_size_for(n, engine.fr_host)
+        cp = mpc_common_paramters_custom_all(engine, length=2 * m)
+        cp_m = matrix_storage_lagrange(
+            cp,
+            engine,
+            assembly.at_inputs,
+            assembly.bt_inputs,
+            assembly.ct_inputs,
+            assembly.at_aux,
+            assembly.bt_aux,
+            assembly.ct_aux,
+            n,
+        )
+    else:
+        cp = mpc_common_paramters_custom_all(engine, length=2 * n)
+        cp_m = matrix_storage(
+            cp,
+            engine,
+            assembly.at_inputs,
+            assembly.bt_inputs,
+            assembly.ct_inputs,
+            assembly.at_aux,
+            assembly.bt_aux,
+            assembly.ct_aux,
+            n,
+        )
     ucp = mpc_uncommon_paramters_custom_all(engine, cp_m)
 
     def eval_query(tables, glist, group):
@@ -757,11 +863,19 @@ def generate_parameters_mpc(
             out.append(acc)
         return out
 
+    if basis == "lagrange":
+        host = engine.fr_host
+        m, _exp = domain_size_for(n, host)
+        basis_g1 = engine.g1.intt(cp.tau_g1[:m], host)
+        basis_g2 = engine.g2.intt(cp.tau_g2[:m], host)
+    else:
+        basis_g1 = cp.tau_g1
+        basis_g2 = cp.tau_g2
     at_all = assembly.at_inputs + assembly.at_aux
     bt_all = assembly.bt_inputs + assembly.bt_aux
-    a = eval_query(at_all, cp.tau_g1, engine.g1)
-    b_g1 = eval_query(bt_all, cp.tau_g1, engine.g1)
-    b_g2 = eval_query(bt_all, cp.tau_g2, engine.g2)
+    a = eval_query(at_all, basis_g1, engine.g1)
+    b_g1 = eval_query(bt_all, basis_g1, engine.g1)
+    b_g2 = eval_query(bt_all, basis_g2, engine.g2)
 
     vk = VerifyingKey(
         alpha_g1=cp.alpha_g1,

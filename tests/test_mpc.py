@@ -206,3 +206,93 @@ def test_generate_parameters_mpc_structure():
     # completed A/B queries are non-empty (unlike the reference's stub)
     assert len(params.a) > 0 and len(params.b_g1) > 0
     assert len(params.b_g1) == len(params.b_g2)
+
+
+def test_generate_parameters_mpc_lagrange_equals_generator():
+    """SOUND ceremony setup: basis="lagrange" reproduces generate_parameters.
+
+    The canned ceremony secrets total exactly the deterministic trapdoor
+    (alpha=6, beta=24, tau=2, gamma=6, delta=24 — generator.rs:32-39), so a
+    sound Lagrange-basis projection must yield the very same CRS the direct
+    generator computes — the cross-check generator.rs:573-611 hard-wires,
+    done on the COMPLETE parameter set.
+    """
+    from bellman_mpc_tpu.groth16 import (
+        create_random_proof,
+        generate_parameters,
+        prepare_verifying_key,
+        verify_proof,
+    )
+    from bellman_mpc_tpu.groth16.generator import DETERMINISTIC_TRAPDOOR
+    from bellman_mpc_tpu.groth16.mpc import generate_parameters_mpc
+    from tests.test_groth16_mock import AndDemo
+
+    t = DETERMINISTIC_TRAPDOOR
+    direct = generate_parameters(
+        DUMMY,
+        AndDemo(None, None),
+        DUMMY.g1.generator(),
+        DUMMY.g2.generator(),
+        t["alpha"],
+        t["beta"],
+        t["gamma"],
+        t["delta"],
+        t["tau"],
+    )
+    ceremony = generate_parameters_mpc(DUMMY, AndDemo(None, None), basis="lagrange")
+
+    assert ceremony.vk.alpha_g1 == direct.vk.alpha_g1
+    assert ceremony.vk.beta_g2 == direct.vk.beta_g2
+    assert ceremony.vk.gamma_g2 == direct.vk.gamma_g2
+    assert ceremony.vk.delta_g2 == direct.vk.delta_g2
+    assert ceremony.vk.ic == direct.vk.ic
+    assert ceremony.l == direct.l
+    assert ceremony.h == direct.h
+    assert ceremony.a == direct.a
+    assert ceremony.b_g1 == direct.b_g1
+    assert ceremony.b_g2 == direct.b_g2
+
+    # proofs from the ceremony CRS verify under the direct generator's key
+    proof = create_random_proof(DUMMY, AndDemo(True, True), ceremony)
+    pvk = prepare_verifying_key(DUMMY, direct.vk)
+    verify_proof(DUMMY, pvk, proof, [1])
+
+
+def test_generate_parameters_mpc_lagrange_bls():
+    """Sound ceremony on the real curve: CRS equality + e2e prove/verify."""
+    from bellman_mpc_tpu.groth16 import (
+        create_random_proof,
+        generate_parameters,
+        prepare_verifying_key,
+        verify_proof,
+    )
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.groth16.generator import DETERMINISTIC_TRAPDOOR
+    from bellman_mpc_tpu.groth16.mpc import generate_parameters_mpc
+    from bellman_mpc_tpu.models.and_range import AndDemo
+
+    t = DETERMINISTIC_TRAPDOOR
+    direct = generate_parameters(
+        BLS12_381,
+        AndDemo(None, None),
+        BLS12_381.g1.generator(),
+        BLS12_381.g2.generator(),
+        t["alpha"],
+        t["beta"],
+        t["gamma"],
+        t["delta"],
+        t["tau"],
+    )
+    ceremony = generate_parameters_mpc(
+        BLS12_381, AndDemo(None, None), basis="lagrange"
+    )
+    assert ceremony.vk.ic == direct.vk.ic
+    assert ceremony.l == direct.l
+    assert ceremony.h == direct.h
+    assert ceremony.a == direct.a
+    assert ceremony.b_g1 == direct.b_g1
+    assert ceremony.b_g2 == direct.b_g2
+
+    proof = create_random_proof(BLS12_381, AndDemo(True, True), ceremony)
+    pvk = prepare_verifying_key(BLS12_381, direct.vk)
+    verify_proof(BLS12_381, pvk, proof, [1])
