@@ -112,8 +112,21 @@ class DevFp:
             [(da, db) for (_, da), (_, db) in pairs],
         )
 
-    def lreduce_many(self, lcs):
-        return self.f.lazy_reduce_many(lcs)
+    def lreduce_many(self, lcs, wide: bool = False):
+        return self.f.lazy_reduce_many(lcs, wide=wide)
+
+    def llift(self, a) -> LazyCols:
+        """Zero-cost lift of a reduced element into LazyCols: placing the
+        limbs at columns [L, 2L) represents value a·R, so one Montgomery
+        reduction returns the element itself.  Value bound 2p·R exceeds the
+        normal p·R REDC budget — accumulate with products and reduce with
+        wide=True (one extra conditional subtraction)."""
+        f = self.f
+        return LazyCols(
+            f,
+            jnp.concatenate([jnp.zeros_like(a), a], axis=0),
+            (0,) * f.L + f._dmax_lazy,
+        )
 
     def lb3(self, lc: LazyCols) -> LazyCols:
         """Multiply unreduced columns by the small integer b3 (Montgomery
@@ -255,15 +268,28 @@ class DevFp2:
             out.append(LazyFp2(t0 - t1, t2 - t0 - t1))
         return out
 
-    def lreduce_many(self, lfp2s):
+    def lreduce_many(self, lfp2s, wide: bool = False):
         flat = []
         for l in lfp2s:
             flat += [l.re, l.im]
-        red = self.f.lazy_reduce_many(flat)
+        red = self.f.lazy_reduce_many(flat, wide=wide)
         return [
             jnp.stack([red[2 * i], red[2 * i + 1]], axis=1)
             for i in range(len(lfp2s))
         ]
+
+    def llift(self, a) -> LazyFp2:
+        """Component-wise zero-cost lift (see DevFp.llift)."""
+        f = self.f
+
+        def lift1(x):
+            return LazyCols(
+                f,
+                jnp.concatenate([jnp.zeros_like(x), x], axis=0),
+                (0,) * f.L + f._dmax_lazy,
+            )
+
+        return LazyFp2(lift1(a[:, 0]), lift1(a[:, 1]))
 
     def lb3(self, l: LazyFp2) -> LazyFp2:
         """Multiply unreduced Fp2 columns by b3 = c*(1+u): an integer
@@ -337,6 +363,65 @@ def point_add(ops, p: Point, q: Point) -> Point:
         ]
     )
     X3, Y3, Z3 = ops.lreduce_many([p2 - p1, p4 + p3, p6 + p5])
+    return (X3, Y3, Z3)
+
+
+def point_add_mixed(ops, p: Point, q) -> Point:
+    """Complete mixed addition P + (x2, y2), RCB15 Algorithm 8 (a=0).
+
+    `q` is an affine pair (X2, Y2) that must NOT be the identity (callers
+    select around it, see ops/msm.py msm_table_affine); `p` may be ANY
+    projective point including the identity (0:1:0).
+
+    Lazy-column structure: the reference algorithm's three element-plus-
+    product sums are handled without extra multiplies —
+      * t2 = b3·Z1 becomes a product against the constant b3 element;
+      * t4 = Y2·Z1 + Y1 and Y3raw = X2·Z1 + X1 take zero-cost column
+        LIFTS of Y1/X1 (value < 2pR), paid by one stacked conditional
+        subtraction in a wide reduction;
+      * the algorithm's b3·Y3raw scale is deferred to the second product
+        stage's outputs, where it is a free integer column scale.
+    Same stacked-lane count as the full addition (6+6 products, 6+3
+    reductions) but only two affine coordinates are read — tables shrink
+    to 2/3 and the bucket gathers move a third less HBM traffic.
+    """
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    el = ops.lop
+    t0, t1, t3p, t4p, y3p, t2 = ops.lmul_many(
+        [
+            (el(X1), el(X2)),
+            (el(Y1), el(Y2)),
+            (ops.ldsum(X1, Y1), ops.ldsum(X2, Y2)),
+            (el(Y2), el(Z1)),
+            (el(X2), el(Z1)),
+            (el(Z1), el(ops.b3_element(Z1))),
+        ]
+    )
+    t3, t0_3, Z3m, t1m, t4, y3raw = ops.lreduce_many(
+        [
+            t3p - t0 - t1,
+            3 * t0,
+            t1 + t2,
+            t1 - t2,
+            t4p + ops.llift(Y1),
+            y3p + ops.llift(X1),
+        ],
+        wide=True,
+    )
+    q1, q2, q3, q4, q5, q6 = ops.lmul_many(
+        [
+            (el(t3), el(t1m)),
+            (el(t4), el(y3raw)),
+            (el(y3raw), el(t0_3)),
+            (el(t1m), el(Z3m)),
+            (el(Z3m), el(t4)),
+            (el(t0_3), el(t3)),
+        ]
+    )
+    X3, Y3, Z3 = ops.lreduce_many(
+        [q1 - ops.lb3(q2), ops.lb3(q3) + q4, q5 + q6]
+    )
     return (X3, Y3, Z3)
 
 

@@ -526,11 +526,17 @@ class LimbField:
             [(a, b)], [(da or d, db or d)]
         )[0]
 
-    def lazy_reduce_many(self, lcs: Sequence["LazyCols"]) -> List[jnp.ndarray]:
-        """Reduce k LazyCols through ONE stacked Montgomery reduction."""
+    def lazy_reduce_many(
+        self, lcs: Sequence["LazyCols"], wide: bool = False
+    ) -> List[jnp.ndarray]:
+        """Reduce k LazyCols through ONE stacked Montgomery reduction.
+
+        wide=True relaxes the value bound to T < 3pR (for column LIFTS of
+        reduced elements, see LazyCols.reduce) at the cost of one stacked
+        conditional subtraction over all k lanes."""
         cols = jnp.stack([lc.cols for lc in lcs], axis=1)
         hi = tuple(max(lc.hi[i] for lc in lcs) for i in range(2 * self.L))
-        r = LazyCols(self, cols, hi).reduce()
+        r = LazyCols(self, cols, hi).reduce(wide=wide)
         return [r[:, i] for i in range(len(lcs))]
 
     def fold_digits(
@@ -677,7 +683,7 @@ class LazyCols:
         return self.scale(k)
 
     # -------------------------------------------------------------- reducing
-    def reduce(self) -> jnp.ndarray:
+    def reduce(self, wide: bool = False) -> jnp.ndarray:
         """ONE Montgomery reduction -> lazy element (<2p, canonical digits).
 
         Trace-time proof obligations, checked here exactly:
@@ -687,12 +693,18 @@ class LazyCols:
             below 2^31 under the tracked per-column maxima;
           * fold schedule: enough carry-fold rounds that digits reach the
             <=4094 range required by the carry-lookahead normalizer.
+
+        wide=True relaxes the value bound to T < 3pR — needed when a column
+        LIFT of a reduced element (value < 2p·R, see curves.device llift)
+        was accumulated — giving REDC output < 4p, restored to the lazy
+        <2p range by one conditional subtraction of 2p.
         """
         f = self.f
         b = LIMB_BITS
         L = f.L
         T = sum(h << (b * i) for i, h in enumerate(self.hi))
-        assert T < f.p * f.R, "lazy accumulation exceeds p*R (output not <2p)"
+        limit = 3 * f.p * f.R if wide else f.p * f.R
+        assert T < limit, "lazy accumulation exceeds the REDC value bound"
 
         def _simulate(hi):
             # worst-case REDC growth; None on int32 overflow

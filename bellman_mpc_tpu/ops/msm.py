@@ -22,7 +22,7 @@ applied by the caller (see groth16/bls12.py).
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +32,7 @@ from ..curves.device import (
     DeviceGroup,
     Point,
     point_add,
+    point_add_mixed,
     point_double,
     point_identity,
     point_select,
@@ -454,6 +455,148 @@ def msm_table(ops, tables: Point, digits: jnp.ndarray) -> Point:
 
     acc = jax.lax.fori_loop(0, W, body, point_identity(ops, (B, N)))
     return tree_reduce(ops, acc)
+
+
+def signed_digits(digits: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(W, *S) unsigned base-2^c digits (LSB-window first) -> (W+1, *S)
+    signed digits in [-2^(c-1), 2^(c-1)-1] representing the same value.
+
+    Any digit >= 2^(c-1) becomes digit - 2^c with a +1 carry into the next
+    window (one lax.scan over the W axis; the final carry is the extra
+    digit, always 0 or 1).  Halves the bucket-table magnitude range of the
+    gather MSM: |digit| <= 2^(c-1), sign applied by negating the gathered
+    y coordinate (negation is free on short-Weierstrass points)."""
+    half = 1 << (c - 1)
+    full = 1 << c
+
+    def body(carry, d):
+        t = d + carry
+        cout = (t >= half).astype(d.dtype)
+        return cout, t - cout * full
+
+    carry, s = jax.lax.scan(body, jnp.zeros_like(digits[0]), digits)
+    return jnp.concatenate([s, carry[None]], axis=0)
+
+
+def window_tables_affine(
+    ops, points: Point, c: int, nbits: int = 255, signed: bool = True
+) -> Tuple:
+    """Affine window bucket tables for the signed-digit gather MSM.
+
+    T[w, b, i] = b * 2^(c*w) * P_i stored as AFFINE pairs (x, y), coords
+    (L, [2,] W, nb, N) — 2/3 the memory and gather traffic of the
+    projective tables.  The identity (bucket 0, and every bucket of a
+    padded identity base) is stored as (0, 0), which is not on the curve
+    y^2 = x^3 + 4 so the runtime MSM can detect it with two is-zero tests.
+
+    signed=True sizes the table for magnitude buckets [0, 2^(c-1)] and
+    W = ceil(nbits/c) + 1 windows (the +1 absorbs the recoding carry).
+    """
+    if signed:
+        W = -(-nbits // c) + 1
+        nb = (1 << (c - 1)) + 1
+    else:
+        W = -(-nbits // c)
+        nb = 1 << c
+    N = points[0].shape[-1]
+    sb = shifted_bases(ops, points, c, W * c)  # (L, [2,] W*N)
+    sb = tuple(x.reshape(x.shape[:-1] + (W, N)) for x in sb)
+
+    def bucket_step(b, carry):
+        table, running = carry
+        running = point_add(ops, running, sb)
+        table = jax.tree_util.tree_map(
+            lambda acc, x: jax.lax.dynamic_update_index_in_dim(
+                acc, x, b + 1, acc.ndim - 3
+            ),
+            table,
+            running,
+        )
+        return table, running
+
+    table0 = tuple(
+        jnp.zeros(x.shape[:-1] + (nb, W, N), jnp.int32) for x in points
+    )
+    table0 = (
+        table0[0],
+        table0[1].at[..., 0, :, :].set(ops.one((W, N))),
+        table0[2],
+    )
+    ident = point_identity(ops, (W, N))
+    table, _ = jax.lax.fori_loop(0, nb - 1, bucket_step, (table0, ident))
+    X, Y, Z = tuple(jnp.swapaxes(x, -3, -2) for x in table)  # (L,[2,]W,nb,N)
+
+    inf = ops.is_zero(Z)
+    zsafe = ops.select(inf, ops.one(ops.batch_shape(Z)), Z)
+    zinv = ops.inv(zsafe)
+    zero = ops.zero(ops.batch_shape(Z))
+    x = ops.select(inf, zero, ops.mul(X, zinv))
+    y = ops.select(inf, zero, ops.mul(Y, zinv))
+    return (x, y)
+
+
+def msm_table_affine(ops, tables, sdigits: jnp.ndarray) -> Point:
+    """MSM from affine window tables + signed digits: the default TPU path.
+
+    tables: (x, y) from `window_tables_affine`, coords (L, [2,] W, nb, N);
+    sdigits: (W, B, N) signed digits from `signed_digits` (|d| < nb).
+    Returns (L, [2,] B, 1).
+
+    Per window (sequential at (B, N) lane width — see msm_table for the
+    VMEM-residency rationale): gather the |digit| bucket, negate y where
+    the digit is negative, and fold with ONE complete mixed addition; a
+    select skips gathered identities (stored as the off-curve pair (0,0)).
+    Work: (ceil(255/c)+1) * B * N mixed adds + the final tree reduction —
+    at c=8 that is 33 window adds vs the unsigned c=4 path's 64.
+    """
+    W, B, N = sdigits.shape
+    xs, ys = tables
+    coord_rank = xs.ndim  # 4 (G1) or 5 (G2)
+    mag = jnp.abs(sdigits).reshape((1,) * (coord_rank - 3) + (W, B, N))
+    ind = mag[..., None, :]  # (1, [1,] W, B, 1, N)
+    sgn = sdigits < 0
+
+    def body(w, acc):
+        def pick(t):
+            t_w = jax.lax.dynamic_index_in_dim(
+                t, w, t.ndim - 3, keepdims=False
+            )  # (L, [2,] nb, N)
+            i_w = jax.lax.dynamic_index_in_dim(
+                ind, w, ind.ndim - 4, keepdims=False
+            )  # (1, [1,] B, 1, N)
+            return jnp.take_along_axis(t_w[..., None, :], i_w, axis=-3)[
+                ..., 0, :
+            ]  # (L, [2,] B, N)
+
+        qx, qy = pick(xs), pick(ys)
+        sg = jax.lax.dynamic_index_in_dim(sgn, w, 0, keepdims=False)
+        qy = ops.select(sg, ops.neg(qy), qy)
+        inf = jnp.logical_and(ops.is_zero(qx), ops.is_zero(qy))
+        added = point_add_mixed(ops, acc, (qx, qy))
+        return point_select(ops, inf, acc, added)
+
+    acc = jax.lax.fori_loop(0, W, body, point_identity(ops, (B, N)))
+    return tree_reduce(ops, acc)
+
+
+def pick_table_c(n: int, g2: bool, budget_mb: int = 1536) -> int:
+    """Largest signed window width c whose affine table fits the budget.
+
+    Table memory = (ceil(255/c)+1) * (2^(c-1)+1) * n points, 288 B per G1
+    point (two 36-limb int32 coords) or 576 B per G2 point.  Small base
+    sets get wider windows (n<=4: up to c=12 -> 23 window adds vs 64)
+    while big CRS sets settle around c=8 (33 adds).  The cap keeps the
+    build-time bucket chain (2^(c-1) sequential point adds) proportionate.
+    """
+    bytes_per = 576 if g2 else 288
+    cap = 12 if n <= 4 else 8
+    best = 4
+    for c in range(4, cap + 1):
+        W = -(-255 // c) + 1
+        nb = (1 << (c - 1)) + 1
+        if W * nb * n * bytes_per <= budget_mb * (1 << 20):
+            best = c
+    return best
 
 
 def digits_from_bits(bits: jnp.ndarray, c: int) -> jnp.ndarray:

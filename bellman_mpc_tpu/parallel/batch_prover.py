@@ -7,7 +7,8 @@ is a single XLA program over a *batch axis of proofs* B:
     (a, b, c) per-constraint evaluations  (L, B, m)   [Montgomery limbs]
       -> vmapped h(x) coset pipeline      (7 NTTs, fused)
       -> on-device bit decomposition of h and witness scalars
-      -> 6 MSMs against baked CRS limb tensors (bases broadcast over B)
+      -> 5 MSMs against baked CRS limb tensors (bases broadcast over B;
+         the input-wire queries ride the aux queries' pow2 padding)
       -> proof assembly A = alpha + A(tau) + r*delta, ... (RCB point ops)
       -> batched to-affine
 
@@ -123,18 +124,23 @@ class BatchProver:
             n = _pad_pow2_int(n_logical)
             return group.encode_points(list(pts) + [None] * (n - len(pts)))
 
+        # The step only ever consumes a_in + a_aux (and likewise b1/b2), so
+        # the input-wire queries are MERGED into the aux query's pow2
+        # padding instead of paying their own window folds: the round-1
+        # profile showed the N=1 G2 "b2_in" MSM alone cost 278 ms of a
+        # 1033 ms step.  8 MSMs collapse to 5 large ones for free.
         self.h_n = _pad_pow2_int(self.m - 1)
         self.crs_h = bake(g1_device, params.h, self.m - 1)
         self.crs_l = bake(g1_device, params.l, self.num_aux)
         a_in, a_aux = params.get_a(self.num_inputs)
-        self.crs_a_in = bake(g1_device, a_in, self.num_inputs)
-        self.crs_a_aux = bake(g1_device, a_aux, len(self.a_aux_idx))
         b1_in, b1_aux = params.get_b_g1(len(self.b_in_idx))
         b2_in, b2_aux = params.get_b_g2(len(self.b_in_idx))
-        self.crs_b1_in = bake(g1_device, b1_in, len(self.b_in_idx))
-        self.crs_b1_aux = bake(g1_device, b1_aux, len(self.b_aux_idx))
-        self.crs_b2_in = bake(g2_device, b2_in, len(self.b_in_idx))
-        self.crs_b2_aux = bake(g2_device, b2_aux, len(self.b_aux_idx))
+        a_all = list(a_in) + list(a_aux)
+        b1_all = list(b1_in) + list(b1_aux)
+        b2_all = list(b2_in) + list(b2_aux)
+        self.crs_a = bake(g1_device, a_all, len(a_all))
+        self.crs_b1 = bake(g1_device, b1_all, len(b1_all))
+        self.crs_b2 = bake(g2_device, b2_all, len(b2_all))
 
         # vk points + deterministic-blinding precomputations (host points).
         vk = params.vk
@@ -183,85 +189,95 @@ class BatchProver:
             msm_flat_pippenger,
             msm_pippenger_batched,
             msm_table,
+            msm_table_affine,
+            pick_table_c,
             shifted_bases,
+            signed_digits,
             window_tables,
+            window_tables_affine,
         )
 
         strategy = self.msm_strategy
         c_win = self.pippenger_c
+        crs_g1 = (self.crs_h, self.crs_l, self.crs_a, self.crs_b1)
+        crs_g2 = (self.crs_b2,)
 
         if strategy == "table":
-            # Precompute T[w, b, i] = b * 2^(cw) * P_i per CRS base set
-            # (build-time device work; HBM-resident).  c=4 keeps the G1
-            # tables ~0.9 GB each; the runtime MSM is gather + tree adds.
+            # Precompute bucket tables per CRS base set (build-time device
+            # work; HBM-resident).  Default: SIGNED digits + AFFINE tables —
+            # |digit| <= 2^(c-1) buckets gathered as (x, y) pairs, folded
+            # with complete mixed additions (curves/device.point_add_mixed),
+            # 33 window adds at c=8 vs the unsigned projective path's 64.
+            # The window width adapts per base set: tiny sets (the merged
+            # queries keep N tiny only for degenerate circuits) get very
+            # wide windows since table memory scales with N.
             # The tables are passed to the jitted step as ARGUMENTS (several
             # GB of embedded constants breaks program serialization).
             import os as _os
 
-            c_tab = int(_os.environ.get("BMT_TABLE_C", "0")) or min(c_win, 4)
-            self._table_c = c_tab
-            tab1 = jax.jit(
-                lambda pts: window_tables(g1_device.ops, pts, c_tab)
-            )
-            tab2 = jax.jit(
-                lambda pts: window_tables(g2_device.ops, pts, c_tab)
-            )
+            self._table_signed = _os.environ.get("BMT_TABLE_SIGNED", "1") == "1"
+            budget = int(_os.environ.get("BMT_TABLE_MEM_MB", "1536"))
+            c_env = int(_os.environ.get("BMT_TABLE_C", "0"))
             table_idx = {}
             table_args = []
-            for crs in (
-                self.crs_h,
-                self.crs_l,
-                self.crs_a_in,
-                self.crs_a_aux,
-                self.crs_b1_in,
-                self.crs_b1_aux,
-            ):
-                if id(crs) not in table_idx:
-                    table_idx[id(crs)] = len(table_args)
-                    table_args.append(tab1(crs))
-            for crs in (self.crs_b2_in, self.crs_b2_aux):
-                if id(crs) not in table_idx:
-                    table_idx[id(crs)] = len(table_args)
-                    table_args.append(tab2(crs))
+            for crs in crs_g1 + crs_g2:
+                if id(crs) in table_idx:
+                    continue
+                grp = g2_device if any(crs is c2 for c2 in crs_g2) else g1_device
+                n = crs[0].shape[-1]
+                on_cpu = jax.default_backend() == "cpu"
+                c_tab = c_env or (
+                    pick_table_c(n, g2=grp is g2_device, budget_mb=budget)
+                    if self._table_signed and not on_cpu
+                    else 4
+                )
+                if self._table_signed:
+                    tab = jax.jit(
+                        lambda pts, ops=grp.ops, c=c_tab: window_tables_affine(
+                            ops, pts, c
+                        )
+                    )(crs)
+                else:
+                    tab = jax.jit(
+                        lambda pts, ops=grp.ops, c=c_tab: window_tables(
+                            ops, pts, c
+                        )
+                    )(crs)
+                table_idx[id(crs)] = (len(table_args), c_tab)
+                table_args.append(tab)
             self._table_idx = table_idx
             self._table_args = tuple(table_args)
         else:
             self._table_idx = {}
             self._table_args = ()
+            self._table_signed = False
         table_idx = self._table_idx
 
         if strategy == "flatpip":
             # Pre-shift every CRS base set once (device, build time): the
             # runtime MSM then has no doublings and no per-window loops.
-            shift = jax.jit(
-                lambda pts: shifted_bases(g1_device.ops, pts, c_win)
-            )
-            shift2 = jax.jit(
-                lambda pts: shifted_bases(g2_device.ops, pts, c_win)
-            )
             self._sbases = {}
-            for crs in (
-                self.crs_h,
-                self.crs_l,
-                self.crs_a_in,
-                self.crs_a_aux,
-                self.crs_b1_in,
-                self.crs_b1_aux,
-            ):
+            for crs in crs_g1 + crs_g2:
+                grp = g2_device if any(crs is c2 for c2 in crs_g2) else g1_device
                 if crs[0].shape[-1] >= 16:
-                    self._sbases[id(crs)] = shift(crs)
-            for crs in (self.crs_b2_in, self.crs_b2_aux):
-                if crs[0].shape[-1] >= 16:
-                    self._sbases[id(crs)] = shift2(crs)
+                    self._sbases[id(crs)] = jax.jit(
+                        lambda pts, ops=grp.ops: shifted_bases(ops, pts, c_win)
+                    )(crs)
         else:
             self._sbases = {}
         sbases = self._sbases
+        table_signed = self._table_signed
 
         def msm(ops, bases, bits, tables=()):
             # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
             if strategy == "table":
-                digits = digits_from_bits(bits, self._table_c)
-                return msm_table(ops, tables[table_idx[id(bases)]], digits)
+                idx, c_tab = table_idx[id(bases)]
+                digits = digits_from_bits(bits, c_tab)
+                if table_signed:
+                    return msm_table_affine(
+                        ops, tables[idx], signed_digits(digits, c_tab)
+                    )
+                return msm_table(ops, tables[idx], digits)
             if strategy == "flatpip" and bases[0].shape[-1] >= 16:
                 digits = digits_from_bits(bits, c_win)
                 return msm_flat_pippenger(
@@ -334,49 +350,45 @@ class BatchProver:
             bits_h = pad_scalars(bits_from_mont(fr, h), self.h_n)
             bits_aux = bits_from_std(fr, wit_aux)
             bits_in = bits_from_std(fr, wit_in)
-            bits_a_aux = pad_scalars(
-                bits_aux[:, :, jnp.asarray(self.a_aux_idx, jnp.int32)]
-                if self.a_aux_idx
-                else bits_aux[:, :, :0],
-                self.crs_a_aux[0].shape[-1],
+
+            def sel(bits, idx):
+                if not idx:
+                    return bits[:, :, :0]
+                return bits[:, :, jnp.asarray(idx, jnp.int32)]
+
+            # Merged scalar vectors matching the merged CRS base sets: the
+            # a-query takes every input wire then the dense aux wires; the
+            # b-queries share one (dense-input, dense-aux) vector.
+            bits_a = pad_scalars(
+                jnp.concatenate(
+                    [bits_in, sel(bits_aux, self.a_aux_idx)], axis=-1
+                ),
+                self.crs_a[0].shape[-1],
             )
-            bits_b_in = pad_scalars(
-                bits_in[:, :, jnp.asarray(self.b_in_idx, jnp.int32)]
-                if self.b_in_idx
-                else bits_in[:, :, :0],
-                self.crs_b1_in[0].shape[-1],
-            )
-            bits_b_aux = pad_scalars(
-                bits_aux[:, :, jnp.asarray(self.b_aux_idx, jnp.int32)]
-                if self.b_aux_idx
-                else bits_aux[:, :, :0],
-                self.crs_b1_aux[0].shape[-1],
+            bits_b = pad_scalars(
+                jnp.concatenate(
+                    [sel(bits_in, self.b_in_idx), sel(bits_aux, self.b_aux_idx)],
+                    axis=-1,
+                ),
+                self.crs_b1[0].shape[-1],
             )
             bits_l = pad_scalars(bits_aux, self.crs_l[0].shape[-1])
-            bits_a_in = pad_scalars(bits_in, self.crs_a_in[0].shape[-1])
 
-            # Separate MSM programs: stacking the four large G1 MSMs into one
+            # Separate MSM programs: stacking the large G1 MSMs into one
             # vmapped body was measured 2.2x SLOWER at runtime on TPU (the
-            # 4x-wider fused multiplies spill VMEM), so each runs on its own.
+            # wider fused multiplies spill VMEM), so each runs on its own.
             if self.stack_msms:
-                h_pt, l_pt, a_aux_pt, b1_aux_pt = msm_stacked(
+                h_pt, l_pt, a_answer, b1_answer = msm_stacked(
                     g1o,
-                    [self.crs_h, self.crs_l, self.crs_a_aux, self.crs_b1_aux],
-                    [bits_h, bits_l, bits_a_aux, bits_b_aux],
+                    [self.crs_h, self.crs_l, self.crs_a, self.crs_b1],
+                    [bits_h, bits_l, bits_a, bits_b],
                 )
             else:
                 h_pt = msm(g1o, self.crs_h, bits_h, tables)
                 l_pt = msm(g1o, self.crs_l, bits_l, tables)
-                a_aux_pt = msm(g1o, self.crs_a_aux, bits_a_aux, tables)
-                b1_aux_pt = msm(g1o, self.crs_b1_aux, bits_b_aux, tables)
-            a_in_pt = msm(g1o, self.crs_a_in, bits_a_in, tables)
-            b1_in_pt = msm(g1o, self.crs_b1_in, bits_b_in, tables)
-            b2_in_pt = msm(g2o, self.crs_b2_in, bits_b_in, tables)
-            b2_aux_pt = msm(g2o, self.crs_b2_aux, bits_b_aux, tables)
-
-            a_answer = point_add(g1o, a_in_pt, a_aux_pt)
-            b1_answer = point_add(g1o, b1_in_pt, b1_aux_pt)
-            b2_answer = point_add(g2o, b2_in_pt, b2_aux_pt)
+                a_answer = msm(g1o, self.crs_a, bits_a, tables)
+                b1_answer = msm(g1o, self.crs_b1, bits_b, tables)
+            b2_answer = msm(g2o, self.crs_b2, bits_b, tables)
 
             # broadcast the constant points over the proof batch
             def bconst(pt):

@@ -138,33 +138,40 @@ def main():
 
         # --- phase: each MSM ---------------------------------------------
         if bp.msm_strategy == "table":
-            c_tab = bp._table_c
+            from bellman_mpc_tpu.ops.msm import msm_table_affine, signed_digits
+
             bits_h = jnp.pad(
                 bits_from_mont(fr, h), ((0, 0), (0, 0), (0, bp.h_n - (bp.m - 1)))
             )
-            digits_h = digits_from_bits(bits_h, c_tab)
-
             names = [
                 ("h", bp.crs_h, g1_device),
                 ("l", bp.crs_l, g1_device),
-                ("a_in", bp.crs_a_in, g1_device),
-                ("a_aux", bp.crs_a_aux, g1_device),
-                ("b1_in", bp.crs_b1_in, g1_device),
-                ("b1_aux", bp.crs_b1_aux, g1_device),
-                ("b2_in", bp.crs_b2_in, g2_device),
-                ("b2_aux", bp.crs_b2_aux, g2_device),
+                ("a", bp.crs_a, g1_device),
+                ("b1", bp.crs_b1, g1_device),
+                ("b2", bp.crs_b2, g2_device),
             ]
             msm_total = 0.0
             for nm, crs, grp in names:
                 N = crs[0].shape[-1]
-                tab = bp._table_args[bp._table_idx[id(crs)]]
-                dg = jnp.zeros(
-                    (digits_h.shape[0], B, N), jnp.int32
-                ) + (digits_h[:, :, :N] if N <= digits_h.shape[-1] else 0)
-                f = jax.jit(lambda t_, d_: msm_table(grp.ops, t_, d_))
+                idx, c_tab = bp._table_idx[id(crs)]
+                tab = bp._table_args[idx]
+                digits_h = digits_from_bits(bits_h, c_tab)
+                dg = jnp.zeros((digits_h.shape[0], B, N), jnp.int32) + (
+                    digits_h[:, :, :N] if N <= digits_h.shape[-1] else 0
+                )
+                if bp._table_signed:
+                    f = jax.jit(
+                        lambda t_, d_, ops=grp.ops, c=c_tab: msm_table_affine(
+                            ops, t_, signed_digits(d_, c)
+                        )
+                    )
+                else:
+                    f = jax.jit(
+                        lambda t_, d_, ops=grp.ops: msm_table(ops, t_, d_)
+                    )
                 t = timeit(f, tab, dg)
                 msm_total += t
-                log(f"  msm[{nm:7s}] N={N:5d} {t * 1e3:8.1f} ms")
+                log(f"  msm[{nm:3s}] N={N:5d} c={c_tab:2d} {t * 1e3:8.1f} ms")
                 results[B][f"msm_{nm}_ms"] = round(t * 1e3, 1)
             log(f"  msm total           {msm_total * 1e3:8.1f} ms")
             results[B]["msm_total_ms"] = round(msm_total * 1e3, 1)
