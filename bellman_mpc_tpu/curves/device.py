@@ -482,6 +482,22 @@ def scalar_mul_bits(ops, p: Point, bits: jnp.ndarray) -> Point:
     return jax.lax.fori_loop(0, nbits, body, acc)
 
 
+def scalar_mul_const(ops, p: Point, k: int) -> Point:
+    """Double-and-add for a HOST-constant scalar: unrolled, select-free.
+
+    For the prover's fixed blinding scalars (r=27134, s=17146,
+    prover.rs:169-172) this is ~2x fewer point ops than the branchless
+    ladder (no identity-select lanes, adds only at set bits)."""
+    if k == 0:
+        return point_identity(ops, ops.batch_shape(p[0]))
+    acc = p
+    for b in bin(k)[3:]:  # MSB already consumed by acc = p
+        acc = point_double(ops, acc)
+        if b == "1":
+            acc = point_add(ops, acc, p)
+    return acc
+
+
 def tree_reduce(ops, p: Point) -> Point:
     """Sum all points along the LAST batch axis (must be a power of two)."""
     X, Y, Z = p

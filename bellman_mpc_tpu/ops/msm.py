@@ -524,15 +524,61 @@ def window_tables_affine(
     )
     ident = point_identity(ops, (W, N))
     table, _ = jax.lax.fori_loop(0, nb - 1, bucket_step, (table0, ident))
-    X, Y, Z = tuple(jnp.swapaxes(x, -3, -2) for x in table)  # (L,[2,]W,nb,N)
+    # bucket axis LEADING for the inversion scans: (L, [2,] nb, W, N)
+    X, Y, Z = table
 
+    # Affine conversion via Montgomery's batch-inversion trick along the
+    # bucket axis: ONE Fermat inversion at (W, N) lanes + 2 multiplies per
+    # bucket, instead of either a full-width inversion (4.4M-lane multiply
+    # temps of ~1.3 GB crash the TPU worker at c=8/N=1024) or a per-bucket
+    # inversion (128 x ~0.9 s of per-op overhead floor, measured 138 s per
+    # table build).
     inf = ops.is_zero(Z)
-    zsafe = ops.select(inf, ops.one(ops.batch_shape(Z)), Z)
-    zinv = ops.inv(zsafe)
-    zero = ops.zero(ops.batch_shape(Z))
-    x = ops.select(inf, zero, ops.mul(X, zinv))
-    y = ops.select(inf, zero, ops.mul(Y, zinv))
-    return (x, y)
+    zero_wn = ops.zero((W, N))
+    one_wn = ops.one((W, N))
+    zs = ops.select(inf, ops.one(ops.batch_shape(Z)), Z)
+    b_axis = zs.ndim - 3
+
+    def zslice(t, b):
+        return jax.lax.dynamic_index_in_dim(t, b, b_axis, keepdims=False)
+
+    def fwd(b, carry):
+        # prefix[b] = z_0 * ... * z_{b-1}  (exclusive prefix: no edge cond)
+        prefix, running = carry
+        prefix = jax.lax.dynamic_update_index_in_dim(
+            prefix, running, b, b_axis
+        )
+        running = ops.mul(running, zslice(zs, b))
+        return prefix, running
+
+    prefix, total = jax.lax.fori_loop(
+        0, nb, fwd, (jnp.zeros_like(zs), one_wn)
+    )
+    total_inv = ops.inv(total)  # ONE pow at (W, N) lanes
+
+    def bwd(i, carry):
+        # zinv_b = inv_run * prefix[b]; fold the coordinate multiplies in
+        # so no full-width zinv tensor is ever materialized.
+        inv_run, xt, yt = carry
+        b = nb - 1 - i
+        zinv_b, inv_next = ops.mul_many(
+            [(inv_run, zslice(prefix, b)), (inv_run, zslice(zs, b))]
+        )
+        xb, yb = ops.mul_many(
+            [(zslice(X, b), zinv_b), (zslice(Y, b), zinv_b)]
+        )
+        inf_b = jax.lax.dynamic_index_in_dim(inf, b, inf.ndim - 3, False)
+        xb = ops.select(inf_b, zero_wn, xb)
+        yb = ops.select(inf_b, zero_wn, yb)
+        xt = jax.lax.dynamic_update_index_in_dim(xt, xb, b, b_axis)
+        yt = jax.lax.dynamic_update_index_in_dim(yt, yb, b, b_axis)
+        return inv_next, xt, yt
+
+    _, x, y = jax.lax.fori_loop(
+        0, nb, bwd, (total_inv, jnp.zeros_like(X), jnp.zeros_like(Y))
+    )
+    # layout (L, [2,] W, nb, N)
+    return tuple(jnp.swapaxes(t, -3, -2) for t in (x, y))
 
 
 def msm_table_affine(ops, tables, sdigits: jnp.ndarray) -> Point:

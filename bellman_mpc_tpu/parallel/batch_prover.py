@@ -37,6 +37,7 @@ from ..curves.device import (
     point_select,
     point_identity,
     scalar_mul_bits,
+    scalar_mul_const,
     scalars_to_bits,
     tree_reduce,
 )
@@ -158,11 +159,6 @@ class BatchProver:
             hostg1.add(hostg1.mul(vk.alpha_g1, s), hostg1.mul(vk.beta_g1, r)),
         )
         self.gc_const = g1_device.encode_points([gc])
-        # blinding-scalar ladders only need the scalars' true bit length
-        # (15 bits for the reference's deterministic r/s — a 17x shorter
-        # ladder than the generic 255-bit path)
-        self.s_bits = scalars_to_bits([s], max(s.bit_length(), 1))[:, 0]
-        self.r_bits = scalars_to_bits([r], max(r.bit_length(), 1))[:, 0]
 
         warm_twiddles(self.fr, engine.fr_host, self.exp)
         from ..groth16.compiled import CompiledCircuit
@@ -400,14 +396,8 @@ class BatchProver:
             g_a = point_add(g1o, bconst(self.ga_const), a_answer)
             g_b = point_add(g2o, bconst(self.gb_const), b2_answer)
 
-            s_bits = jnp.broadcast_to(
-                self.s_bits[:, None, None], (self.s_bits.shape[0], B, 1)
-            )
-            r_bits = jnp.broadcast_to(
-                self.r_bits[:, None, None], (self.r_bits.shape[0], B, 1)
-            )
-            a_s = scalar_mul_bits(g1o, a_answer, s_bits)
-            b1_r = scalar_mul_bits(g1o, b1_answer, r_bits)
+            a_s = scalar_mul_const(g1o, a_answer, self.s)
+            b1_r = scalar_mul_const(g1o, b1_answer, self.r)
             g_c = point_add(g1o, bconst(self.gc_const), a_s)
             g_c = point_add(g1o, g_c, b1_r)
             g_c = point_add(g1o, g_c, h_pt)
