@@ -5,9 +5,10 @@ bellman/Cargo.toml:39-42), the RAYON_NUM_THREADS env var and a toolchain
 pin; the TPU framework's knobs live here, overridable by environment:
 
   BMT_NUM_THREADS      host worker threads (parallel/worker.py)
-  BMT_MSM_STRATEGY     "auto" | "ladder" | "table" | "pippenger" | "flatpip"
-                       (auto = table on TPU, ladder on CPU; see
-                       DESIGN-NOTES.md "Measured TPU performance model")
+  BMT_MSM_STRATEGY     "auto" | "ladder" | "table" | "rns" | "pippenger" |
+                       "flatpip" (auto = rns on TPU, ladder on CPU; "rns"
+                       folds the MSM windows over the RNS/MXU field engine,
+                       see DESIGN-NOTES.md "Measured TPU performance model")
   BMT_PIPPENGER_C      window bits for Pippenger buckets (default 8)
   BMT_TABLE_C          window bits for the gather-table MSM (default 4)
   BMT_MESH_SHAPE       "data,model" extents for make_mesh, e.g. "4,2"

@@ -22,6 +22,7 @@ applied by the caller (see groth16/bls12.py).
 from __future__ import annotations
 
 import functools
+from fractions import Fraction
 from typing import List, Sequence, Tuple
 
 import jax
@@ -623,6 +624,105 @@ def msm_table_affine(ops, tables, sdigits: jnp.ndarray) -> Point:
 
     acc = jax.lax.fori_loop(0, W, body, point_identity(ops, (B, N)))
     return tree_reduce(ops, acc)
+
+
+# --------------------------------------------------------- RNS (MXU) strategy
+
+
+def tables_to_rns(rops, lf, tables):
+    """Affine limb window tables -> RNS M-residue tables (int16).
+
+    tables: (x, y) from `window_tables_affine`, coords (L, [2,] W, nb, N)
+    canonical limb Montgomery.  Output: same layout with the limb axis
+    replaced by the RNS channel axis C, stored int16 (residues < 2^12), so
+    table HBM and gather traffic match the limb tables (C*2 ~ L*4 bytes).
+    The (0,0) identity sentinel survives exactly (integer 0 maps to
+    all-zero residues through the conversion multiply).
+
+    One-time device work per CRS: a lax.map over the window axis keeps the
+    conversion's matmul+mul working set VMEM-sized.  Returns
+    ((x_res, y_res), table_bound)."""
+    from ..curves.rns_point import limb_coord_to_rns
+
+    f = rops.f
+    w_axis = tables[0].ndim - 3
+
+    def conv(xy_w):
+        x_w, y_w = xy_w  # (L, [2,] nb, N)
+        vx = limb_coord_to_rns(f, lf, x_w)
+        vy = limb_coord_to_rns(f, lf, y_w)
+        return vx.res.astype(jnp.int16), vy.res.astype(jnp.int16)
+
+    moved = tuple(jnp.moveaxis(t, w_axis, 0) for t in tables)
+    rx, ry = jax.lax.map(conv, moved)
+    bound = limb_coord_to_rns(f, lf, lf.zeros((1,))).a
+    # C replaces L at axis 0, so W returns to the SAME axis index
+    return (
+        (jnp.moveaxis(rx, 0, w_axis), jnp.moveaxis(ry, 0, w_axis)),
+        bound,
+    )
+
+
+def msm_table_affine_rns(rops, lf, tables, sdigits: jnp.ndarray, tab_bound):
+    """The RNS/MXU window fold: same gather structure as msm_table_affine,
+    with the complete mixed addition evaluated over the RNS field engine
+    (curves/rns_point.py) — the reduction matmuls of every field multiply
+    run on the MXU instead of the VPU's carry chains.
+
+    tables: int16 RNS residues from `tables_to_rns`, (C, [2,] W, nb, N);
+    sdigits: (W, B, N) signed digits.  Returns a LIMB Point (L, [2,] B, 1)
+    (the bridge back to the limb pipeline runs at B lanes, negligible).
+
+    Bound discipline: accumulator coordinates are pinned to the fixpoint
+    cap (128*p for G1, 256*p for G2); every iteration's output bounds are
+    asserted <= cap at TRACE time (the RnsVal Fraction bookkeeping runs
+    during tracing), so the compiled loop carries a machine-checked
+    exactness proof."""
+    from ..curves import rns_point as rpt
+
+    W, B, N = sdigits.shape
+    xs, ys = tables
+    coord_rank = xs.ndim  # 4 (G1) or 5 (G2)
+    cap = Fraction(256 if rops.fp2 else 128)
+    mag = jnp.abs(sdigits).reshape((1,) * (coord_rank - 3) + (W, B, N))
+    ind = mag[..., None, :]
+    sgn = sdigits < 0
+
+    def body(w, acc_res):
+        acc = tuple(rpt.RnsVal(rops.f, r, cap) for r in acc_res)
+
+        def pick(t):
+            t_w = jax.lax.dynamic_index_in_dim(
+                t, w, t.ndim - 3, keepdims=False
+            )  # (C, [2,] nb, N)
+            i_w = jax.lax.dynamic_index_in_dim(
+                ind, w, ind.ndim - 4, keepdims=False
+            )  # (1, [1,] B, 1, N)
+            return jnp.take_along_axis(t_w[..., None, :], i_w, axis=-3)[
+                ..., 0, :
+            ].astype(jnp.int32)  # (C, [2,] B, N)
+
+        qx = rops.wrap(pick(xs), tab_bound)
+        qy = rops.wrap(pick(ys), tab_bound)
+        # identity test BEFORE the sign flip: neg() adds K*p to the exact-0
+        # sentinel, which is 0 mod p but no longer stored-zero.
+        inf = jnp.logical_and(
+            rops.is_stored_zero(qx), rops.is_stored_zero(qy)
+        )
+        sg = jax.lax.dynamic_index_in_dim(sgn, w, 0, keepdims=False)
+        qy = rops.select(sg, qy.neg(), qy)
+        added = rpt.point_add_mixed(rops, acc, (qx, qy))
+        assert max(v.a for v in added) <= cap, "RNS fold bound escape"
+        out = rpt.point_select(
+            rops, inf, acc, tuple(rops.wrap(v.res, cap) for v in added)
+        )
+        return tuple(v.res for v in out)
+
+    acc0 = rpt.point_identity(rops, (B, N))
+    acc_res = jax.lax.fori_loop(0, W, body, tuple(v.res for v in acc0))
+    acc = tuple(rops.wrap(r, cap) for r in acc_res)
+    red = rpt.tree_reduce(rops, acc, cap)
+    return rpt.rns_point_to_limb(rops, rops.f, lf, red)
 
 
 def pick_table_c(n: int, g2: bool, budget_mb: int = 1536) -> int:

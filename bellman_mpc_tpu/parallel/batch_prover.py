@@ -186,9 +186,11 @@ class BatchProver:
             msm_pippenger_batched,
             msm_table,
             msm_table_affine,
+            msm_table_affine_rns,
             pick_table_c,
             shifted_bases,
             signed_digits,
+            tables_to_rns,
             window_tables,
             window_tables_affine,
         )
@@ -198,7 +200,7 @@ class BatchProver:
         crs_g1 = (self.crs_h, self.crs_l, self.crs_a, self.crs_b1)
         crs_g2 = (self.crs_b2,)
 
-        if strategy == "table":
+        if strategy in ("table", "rns"):
             # Precompute bucket tables per CRS base set (build-time device
             # work; HBM-resident).  Default: SIGNED digits + AFFINE tables —
             # |digit| <= 2^(c-1) buckets gathered as (x, y) pairs, folded
@@ -211,11 +213,15 @@ class BatchProver:
             # GB of embedded constants breaks program serialization).
             import os as _os
 
-            self._table_signed = _os.environ.get("BMT_TABLE_SIGNED", "1") == "1"
+            self._table_signed = (
+                strategy == "rns"
+                or _os.environ.get("BMT_TABLE_SIGNED", "1") == "1"
+            )
             budget = int(_os.environ.get("BMT_TABLE_MEM_MB", "1536"))
             c_env = int(_os.environ.get("BMT_TABLE_C", "0"))
             table_idx = {}
             table_args = []
+            self._rns_bounds = {}
             for crs in crs_g1 + crs_g2:
                 if id(crs) in table_idx:
                     continue
@@ -239,6 +245,14 @@ class BatchProver:
                             ops, pts, c
                         )
                     )(crs)
+                if strategy == "rns":
+                    # convert to RNS M-residue int16 tables; the limb tables
+                    # are dropped (HBM parity with the limb strategy).
+                    from ..curves.rns_point import rns_g1_ops, rns_g2_ops
+
+                    rops = rns_g2_ops() if grp is g2_device else rns_g1_ops()
+                    tab, bound = tables_to_rns(rops, bc.fp, tab)
+                    self._rns_bounds[id(crs)] = bound
                 table_idx[id(crs)] = (len(table_args), c_tab)
                 table_args.append(tab)
             self._table_idx = table_idx
@@ -266,6 +280,19 @@ class BatchProver:
 
         def msm(ops, bases, bits, tables=()):
             # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
+            if strategy == "rns":
+                from ..curves.rns_point import rns_g1_ops, rns_g2_ops
+
+                idx, c_tab = table_idx[id(bases)]
+                digits = digits_from_bits(bits, c_tab)
+                rops = rns_g2_ops() if ops is g2o else rns_g1_ops()
+                return msm_table_affine_rns(
+                    rops,
+                    bc.fp,
+                    tables[idx],
+                    signed_digits(digits, c_tab),
+                    self._rns_bounds[id(bases)],
+                )
             if strategy == "table":
                 idx, c_tab = table_idx[id(bases)]
                 digits = digits_from_bits(bits, c_tab)

@@ -64,3 +64,13 @@ def test_batch_prover_table_matches_sequential(setup):
         msm_strategy="table", pippenger_c=4,
     )
     _check(host, constants, params, pvk, bp, seed=3, B=2)
+
+
+def test_batch_prover_rns_matches_sequential(setup):
+    """RNS/MXU MSM strategy — bit-identical proofs to the sequential path."""
+    host, constants, params, pvk = setup
+    bp = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0),
+        msm_strategy="rns",
+    )
+    _check(host, constants, params, pvk, bp, seed=4, B=2)

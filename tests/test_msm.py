@@ -186,3 +186,41 @@ def test_table_msm_matches_per_item():
                 assert got[bi] is None
             else:
                 assert group.host.eq(got[bi], want), (group.name, bi)
+
+
+def test_msm_table_affine_rns_vs_host():
+    """RNS/MXU window fold vs host oracle — G1 and G2, identity padding,
+    negative signed digits exercising the pre-negation identity test."""
+    import random
+
+    import jax.numpy as jnp
+
+    from bellman_mpc_tpu.curves import host as chost
+    from bellman_mpc_tpu.curves.device import (
+        g1_device,
+        g2_device,
+        scalars_to_bits,
+    )
+    from bellman_mpc_tpu.curves.rns_point import rns_g1_ops, rns_g2_ops
+    from bellman_mpc_tpu.fields import bls12_381 as bc
+    from bellman_mpc_tpu.ops import msm as M
+
+    rng = random.Random(5)
+    for grp, rops, dev in (
+        (chost.G1, rns_g1_ops(), g1_device),
+        (chost.G2, rns_g2_ops(), g2_device),
+    ):
+        N, B, c = 8, 2, 4
+        pts = [
+            grp.mul(grp.generator, rng.randrange(1, 1 << 64))
+            for _ in range(N - 1)
+        ] + [None]
+        scalars = [[rng.randrange(bc.R) for _ in range(N)] for _ in range(B)]
+        enc = dev.encode_points(pts)
+        tab = M.window_tables_affine(dev.ops, enc, c)
+        rtab, bound = M.tables_to_rns(rops, bc.fp, tab)
+        bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+        sd = M.signed_digits(M.digits_from_bits(bits, c), c)
+        out = M.msm_table_affine_rns(rops, bc.fp, rtab, sd, bound)
+        got = dev.decode_points(tuple(x[..., 0] for x in out))
+        assert got == [grp.msm(pts, s) for s in scalars], grp.name
