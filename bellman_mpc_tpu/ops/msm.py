@@ -663,7 +663,9 @@ def tables_to_rns(rops, lf, tables):
     )
 
 
-def msm_table_affine_rns(rops, lf, tables, sdigits: jnp.ndarray, tab_bound):
+def msm_table_affine_rns(
+    rops, lf, tables, sdigits: jnp.ndarray, tab_bound, seg_sizes=None
+):
     """The RNS/MXU window fold: same gather structure as msm_table_affine,
     with the complete mixed addition evaluated over the RNS field engine
     (curves/rns_point.py) — the reduction matmuls of every field multiply
@@ -672,6 +674,17 @@ def msm_table_affine_rns(rops, lf, tables, sdigits: jnp.ndarray, tab_bound):
     tables: int16 RNS residues from `tables_to_rns`, (C, [2,] W, nb, N);
     sdigits: (W, B, N) signed digits.  Returns a LIMB Point (L, [2,] B, 1)
     (the bridge back to the limb pipeline runs at B lanes, negligible).
+
+    seg_sizes=(n_0, ..., n_{S-1}) runs S independent MSMs as ONE fold: the
+    base axis holds S concatenated base sets (N = sum(n_s), each n_s a
+    power of two, disjoint supports), the window fold runs at full (B, N)
+    lane width, and the tree reduction sums within each segment only
+    (consecutive equal-width segments share one reduction program).
+    Returns (L, [2,] B, S) with one result point per segment.  This
+    amortizes the per-window dispatch overhead (the measured per-add floor
+    ~1.6 ms at 16k lanes is overhead, not compute — DESIGN-NOTES round-2
+    profile) across all S sets; the prove step uses it to fold its four
+    large G1 MSMs (h, l, a, b1) in one pass.
 
     Bound discipline: accumulator coordinates are pinned to the fixpoint
     cap (128*p for G1, 256*p for G2); every iteration's output bounds are
@@ -721,7 +734,38 @@ def msm_table_affine_rns(rops, lf, tables, sdigits: jnp.ndarray, tab_bound):
     acc0 = rpt.point_identity(rops, (B, N))
     acc_res = jax.lax.fori_loop(0, W, body, tuple(v.res for v in acc0))
     acc = tuple(rops.wrap(r, cap) for r in acc_res)
-    red = rpt.tree_reduce(rops, acc, cap)
+    if seg_sizes is None:
+        red = rpt.tree_reduce(rops, acc, cap)
+        return rpt.rns_point_to_limb(rops, rops.f, lf, red)
+    assert sum(seg_sizes) == N
+    # group consecutive equal-width segments into one reduction program
+    groups = []
+    for n_s in seg_sizes:
+        if groups and groups[-1][0] == n_s:
+            groups[-1][1] += 1
+        else:
+            groups.append([n_s, 1])
+    parts, off = [], 0
+    for n_s, count in groups:
+        chunk = tuple(
+            rops.wrap(
+                v.res[..., off : off + n_s * count].reshape(
+                    v.res.shape[:-1] + (count, n_s)
+                ),
+                v.a,
+            )
+            for v in acc
+        )
+        red = rpt.tree_reduce(rops, chunk, cap)  # (..., count, 1)
+        parts.append(tuple(rops.wrap(v.res[..., 0], v.a) for v in red))
+        off += n_s * count
+    red = tuple(
+        rops.wrap(
+            jnp.concatenate([p[k].res for p in parts], axis=-1),
+            max(p[k].a for p in parts),
+        )
+        for k in range(3)
+    )
     return rpt.rns_point_to_limb(rops, rops.f, lf, red)
 
 

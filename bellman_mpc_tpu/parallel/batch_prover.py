@@ -92,11 +92,13 @@ class BatchProver:
         self.fr = engine.fr
         self.params = params
         if msm_strategy == "auto":
-            # The gather-table MSM is the measured-fastest strategy on TPU
-            # (DESIGN-NOTES.md); the ladder keeps CPU tests fast to compile.
+            # The RNS/MXU gather-table MSM is the measured-fastest strategy
+            # on TPU (DESIGN-NOTES.md round-3: 0.381 s/step vs the limb
+            # table fold's 0.444 s at B=16, before the merged-G1 fold);
+            # the ladder keeps CPU tests fast to compile.
             import jax as _jax
 
-            msm_strategy = "table" if _jax.default_backend() != "cpu" else "ladder"
+            msm_strategy = "rns" if _jax.default_backend() != "cpu" else "ladder"
         self.msm_strategy = msm_strategy
         self.pippenger_c = pippenger_c
         # One vmapped body for the 4 large G1 MSMs: ~4x cheaper to compile
@@ -222,7 +224,53 @@ class BatchProver:
             table_idx = {}
             table_args = []
             self._rns_bounds = {}
-            for crs in crs_g1 + crs_g2:
+            # Merged G1 fold (rns strategy): the four large G1 MSMs
+            # (h, l, a, b1) become ONE window fold over a concatenated,
+            # equal-segment base axis — the round-2 profile showed each
+            # window add at 16k lanes is dispatch-overhead-bound, so one
+            # fold at 4x lane width deletes ~3/4 of that overhead.
+            self._merge_g1 = (
+                strategy == "rns"
+                and _os.environ.get("BMT_MERGE_G1", "1") == "1"
+            )
+            if self._merge_g1:
+                # Build per-set limb tables (HBM peak stays at ONE set's
+                # build — a single 4x-wide build OOMs the chip), convert
+                # each to compact int16 RNS residues, then concatenate the
+                # RNS tables on the base axis.  Segment widths stay native
+                # (no identity padding): the segmented reduction in
+                # msm_table_affine_rns handles unequal power-of-two widths.
+                n_max = max(crs[0].shape[-1] for crs in crs_g1)
+                self._g1_seg_sizes = tuple(
+                    crs[0].shape[-1] for crs in crs_g1
+                )
+                c_tab = c_env or (
+                    4
+                    if jax.default_backend() == "cpu"
+                    else pick_table_c(n_max, g2=False, budget_mb=budget)
+                )
+                from ..curves.rns_point import rns_g1_ops
+
+                rns_tabs, bound = [], None
+                for crs in crs_g1:
+                    tab = jax.jit(
+                        lambda pts, c=c_tab: window_tables_affine(
+                            g1_device.ops, pts, c
+                        )
+                    )(crs)
+                    rt, bound = tables_to_rns(rns_g1_ops(), bc.fp, tab)
+                    rt = jax.block_until_ready(rt)
+                    del tab  # free the limb table before the next build
+                    rns_tabs.append(rt)
+                merged_tab = tuple(
+                    jnp.concatenate([t[k] for t in rns_tabs], axis=-1)
+                    for k in range(2)
+                )
+                del rns_tabs
+                self._g1_merged = (len(table_args), c_tab, bound)
+                table_args.append(merged_tab)
+            remaining = (() if self._merge_g1 else crs_g1) + crs_g2
+            for crs in remaining:
                 if id(crs) in table_idx:
                     continue
                 grp = g2_device if any(crs is c2 for c2 in crs_g2) else g1_device
@@ -261,7 +309,9 @@ class BatchProver:
             self._table_idx = {}
             self._table_args = ()
             self._table_signed = False
+            self._merge_g1 = False
         table_idx = self._table_idx
+        merge_g1 = self._merge_g1
 
         if strategy == "flatpip":
             # Pre-shift every CRS base set once (device, build time): the
@@ -312,6 +362,31 @@ class BatchProver:
             P = tuple(c[..., None, :] for c in bases)  # broadcast over B
             per = scalar_mul_bits(ops, P, bits)
             return tree_reduce(ops, per)  # (L, [2,] B, 1)
+
+        def msm_merged_g1(bits_list, tables):
+            """One RNS window fold for all large G1 MSMs (h, l, a, b1).
+
+            bits_list entries (already padded to their CRS widths) are
+            concatenated on the base axis; msm_table_affine_rns(seg_sizes)
+            folds all S MSMs in one pass and segment-reduces.  Returns S
+            limb points (L, B, 1)."""
+            from ..curves.rns_point import rns_g1_ops
+
+            idx, c_tab, bound = self._g1_merged
+            bits = jnp.concatenate(bits_list, axis=-1)
+            digits = digits_from_bits(bits, c_tab)
+            pts = msm_table_affine_rns(
+                rns_g1_ops(),
+                bc.fp,
+                tables[idx],
+                signed_digits(digits, c_tab),
+                bound,
+                seg_sizes=self._g1_seg_sizes,
+            )  # (L, B, S)
+            return [
+                tuple(x[..., s : s + 1] for x in pts)
+                for s in range(len(bits_list))
+            ]
 
         def msm_stacked(ops, base_list, bits_list):
             """Run k same-shaped G1 MSMs as ONE vmapped program.
@@ -400,7 +475,11 @@ class BatchProver:
             # Separate MSM programs: stacking the large G1 MSMs into one
             # vmapped body was measured 2.2x SLOWER at runtime on TPU (the
             # wider fused multiplies spill VMEM), so each runs on its own.
-            if self.stack_msms:
+            if merge_g1:
+                h_pt, l_pt, a_answer, b1_answer = msm_merged_g1(
+                    [bits_h, bits_l, bits_a, bits_b], tables
+                )
+            elif self.stack_msms:
                 h_pt, l_pt, a_answer, b1_answer = msm_stacked(
                     g1o,
                     [self.crs_h, self.crs_l, self.crs_a, self.crs_b1],

@@ -67,10 +67,23 @@ def test_batch_prover_table_matches_sequential(setup):
 
 
 def test_batch_prover_rns_matches_sequential(setup):
-    """RNS/MXU MSM strategy — bit-identical proofs to the sequential path."""
+    """RNS/MXU MSM strategy (merged G1 fold default) — bit-identical proofs."""
     host, constants, params, pvk = setup
     bp = BatchProver(
         BLS12_381, params, MiMCDemo(constants, 0, 0),
         msm_strategy="rns",
     )
+    assert bp._merge_g1  # the default: one segmented fold for h/l/a/b1
     _check(host, constants, params, pvk, bp, seed=4, B=2)
+
+
+def test_batch_prover_rns_unmerged_matches_sequential(setup, monkeypatch):
+    """RNS strategy with per-MSM folds (BMT_MERGE_G1=0) stays correct."""
+    monkeypatch.setenv("BMT_MERGE_G1", "0")
+    host, constants, params, pvk = setup
+    bp = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0),
+        msm_strategy="rns",
+    )
+    assert not bp._merge_g1
+    _check(host, constants, params, pvk, bp, seed=5, B=2)
