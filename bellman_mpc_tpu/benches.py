@@ -121,10 +121,18 @@ def bench_pairing(quick: bool = False) -> None:
 
 
 def bench_scaling(quick: bool = False) -> None:
-    """Weak-scaling of the sharded MSM over mesh sizes (SURVEY.md §7.2/10).
+    """WEAK-scaling of the sharded table MSM over mesh sizes (SURVEY §2.6).
+
+    Weak scaling: the per-device base count n_per is FIXED and the problem
+    grows with the mesh (total N = d * n_per), so ideal scaling is constant
+    wall time; efficiency = t(1 device) / t(d devices).  The kernel is the
+    SHIPPING signed-affine gather-table strategy sharded over the "model"
+    axis (parallel/sharded.sharded_msm_table_affine — ICI all_gather +
+    add-tree combine), the mesh analog of the reference's window-parallel
+    Pippenger decomposition (bellman/src/multiexp.rs:238-249).
 
     On a multi-chip slice this measures ICI scaling; on the CPU test backend
-    it validates the harness on virtual devices.
+    it validates the harness on virtual devices (BASELINE.md target >=80%).
     """
     import jax
     import jax.numpy as jnp
@@ -132,36 +140,69 @@ def bench_scaling(quick: bool = False) -> None:
     from .curves import host as chost
     from .curves.device import g1_device, scalars_to_bits
     from .fields.bls12_381 import R
+    from .ops.msm import (
+        digits_from_bits,
+        signed_digits,
+        window_tables_affine,
+    )
     from .parallel.mesh import make_mesh
-    from .parallel.sharded import sharded_msm
+    from .parallel.sharded import sharded_msm_table_affine
 
     rng = random.Random(7)
     n_dev = len(jax.devices())
-    n = 256 if quick else 1024
-    bases = [chost.G1.mul(chost.G1.generator, k + 1) for k in range(64)] * (n // 64)
-    pts = g1_device.encode_points(bases)
+    n_per = 64 if quick else 128  # bases PER DEVICE (weak scaling)
+    c = 4
     B = 2
-    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
-    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
-
     sizes = [d for d in (1, 2, 4, 8) if d <= n_dev]
-    base_rate = None
+    n_max = n_per * max(sizes)
+    bases = [chost.G1.mul(chost.G1.generator, k + 1) for k in range(64)] * (
+        n_max // 64
+    )
+    pts_all = g1_device.encode_points(bases)
+    tables_all = jax.jit(
+        lambda p: window_tables_affine(g1_device.ops, p, c)
+    )(pts_all)
+    scalars = [[rng.randrange(R) for _ in range(n_max)] for _ in range(B)]
+    bits_all = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+    sd_all = signed_digits(digits_from_bits(bits_all, c), c)
+
+    t1 = None
+    rate1 = None
     for d in sizes:
+        n = n_per * d
+        tables = tuple(t[..., :n] for t in tables_all)
+        sd = sd_all[..., :n]
         mesh = make_mesh(d, shape=(1, d))
+        fn = jax.jit(
+            lambda t_, s_, m=mesh: sharded_msm_table_affine(
+                m, g1_device.ops, t_, s_
+            )
+        )
         t0 = time.perf_counter()
-        out = sharded_msm(mesh, g1_device.ops, pts, bits)
+        out = fn(tables, sd)
         jax.block_until_ready(out)
         warm = time.perf_counter() - t0
+        iters = 3
         t0 = time.perf_counter()
-        out = sharded_msm(mesh, g1_device.ops, pts, bits)
+        for _ in range(iters):
+            out = fn(tables, sd)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+        dt = (time.perf_counter() - t0) / iters
         rate = B * n / dt
-        if base_rate is None:
-            base_rate = rate
+        if t1 is None:
+            t1, rate1 = dt, rate
+        # Weak scaling: ideal = flat wall time as N grows with d
+        # (efficiency_time = t1/td).  On the shared-core CPU emulation the
+        # d virtual devices compete for the same host cores, so the honest
+        # ideal there is flat POINTS/S (efficiency_rate = rate_d/rate_1);
+        # on a real slice each shard runs on its own chip and the two
+        # metrics coincide.
         _emit(
-            "sharded_msm_scaling", rate, "points/s", devices=d,
-            efficiency=round(rate / (base_rate * d), 3), compile_s=round(warm, 2),
+            "sharded_table_msm_weak_scaling", rate, "points/s",
+            devices=d, n_total=n, n_per_device=n_per,
+            time_s=round(dt, 4), efficiency_time=round(t1 / dt, 3),
+            efficiency_rate=round(rate / rate1, 3),
+            compile_s=round(warm, 2),
         )
 
 

@@ -84,6 +84,7 @@ class BatchProver:
         circuit_template: Circuit,
         msm_strategy: str = "auto",
         pippenger_c: int = 8,
+        mesh=None,
     ):
         from ..groth16.prover import synthesize_witness
 
@@ -91,6 +92,15 @@ class BatchProver:
         self.engine = engine
         self.fr = engine.fr
         self.params = params
+        # Multi-chip: a jax.sharding.Mesh with ("data", "model") axes shards
+        # the proof batch over "data" and the table-MSM base axis over
+        # "model" (ICI all_gather + add-tree combine; parallel/sharded.py).
+        self.mesh = mesh
+        if mesh is not None:
+            assert msm_strategy in ("table", "auto"), (
+                "mesh sharding is wired for the table strategy"
+            )
+            msm_strategy = "table"
         if msm_strategy == "auto":
             # The RNS/MXU gather-table MSM is the measured-fastest strategy
             # on TPU (DESIGN-NOTES.md round-3: 0.381 s/step vs the limb
@@ -226,12 +236,14 @@ class BatchProver:
             self._rns_bounds = {}
             # Merged G1 fold (rns strategy): the four large G1 MSMs
             # (h, l, a, b1) become ONE window fold over a concatenated,
-            # equal-segment base axis — the round-2 profile showed each
-            # window add at 16k lanes is dispatch-overhead-bound, so one
-            # fold at 4x lane width deletes ~3/4 of that overhead.
+            # equal-segment base axis.  OFF by default: the round-3 bench
+            # measured it both slower (0.637 s vs 0.380 s/step at B=16) and
+            # wrong at bench scale (InvalidProof with segments
+            # (1024,1024,1024,512), c=8, B=16 — BENCH_r03), while the
+            # per-MSM folds verify at 37.7 proofs/s.  Opt-in for repro.
             self._merge_g1 = (
                 strategy == "rns"
-                and _os.environ.get("BMT_MERGE_G1", "1") == "1"
+                and _os.environ.get("BMT_MERGE_G1", "0") == "1"
             )
             if self._merge_g1:
                 # Build per-set limb tables (HBM peak stays at ONE set's
@@ -346,6 +358,22 @@ class BatchProver:
             if strategy == "table":
                 idx, c_tab = table_idx[id(bases)]
                 digits = digits_from_bits(bits, c_tab)
+                if self.mesh is not None:
+                    from .sharded import (
+                        sharded_msm_table,
+                        sharded_msm_table_affine,
+                    )
+
+                    if table_signed:
+                        return sharded_msm_table_affine(
+                            self.mesh,
+                            ops,
+                            tables[idx],
+                            signed_digits(digits, c_tab),
+                        )
+                    return sharded_msm_table(
+                        self.mesh, ops, tables[idx], digits
+                    )
                 if table_signed:
                     return msm_table_affine(
                         ops, tables[idx], signed_digits(digits, c_tab)

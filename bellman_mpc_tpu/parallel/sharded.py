@@ -104,6 +104,50 @@ def sharded_msm_table(mesh: Mesh, ops, tables, digits):
     return fn(tables[0], tables[1], tables[2], digits)
 
 
+def sharded_msm_table_affine(mesh: Mesh, ops, tables, sdigits):
+    """Signed-affine gather-table MSM (ops.msm.msm_table_affine — the
+    shipping single-chip "table" strategy) with the CRS base axis sharded
+    over the "model" mesh axis and the proof batch over "data".
+
+    tables: (x, y) coord tuple (L, [2,] W, nb, N) from `window_tables_affine`
+    (N sharded over "model"); sdigits: (W, B, N) signed digits (B sharded
+    over "data", N over "model").  Each device runs the unmodified
+    single-chip fold on its base shard — the (0,0) identity sentinel and
+    complete mixed addition make shards independent — and the per-shard
+    partial sums combine with an all_gather over ICI plus a log-depth
+    group-add tree (group addition is not psum-able).  This is the
+    mesh-level form of the reference's window-parallel Pippenger
+    decomposition (bellman/src/multiexp.rs:238-249), applied to the base
+    axis instead (SURVEY.md §2.6)."""
+    from ..ops.msm import msm_table_affine
+
+    n_model = mesh.shape["model"]
+    coord_rank = tables[0].ndim  # 4 (G1) or 5 (G2)
+    base_spec = P(*([None] * (coord_rank - 1) + ["model"]))
+    digit_spec = P(None, "data", "model")
+    out_spec = P(*([None] * (coord_rank - 3) + ["data", None]))
+
+    def local(tx, ty, dig):
+        part = msm_table_affine(ops, (tx, ty), dig)  # (L, [2,] B_loc, 1)
+        gathered = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, "model"), part
+        )
+        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
+        for k in range(1, n_model):
+            nxt = jax.tree_util.tree_map(lambda x, k=k: x[k], gathered)
+            acc = point_add(ops, acc, nxt)
+        return acc
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(base_spec, base_spec, digit_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(tables[0], tables[1], sdigits)
+
+
 def sharded_ntt(mesh: Mesh, field, host, x, inverse: bool = False):
     """Distributed radix-2 NTT via the 4-step (N1 x N2) decomposition.
 

@@ -40,10 +40,25 @@ def log2_floor(num: int) -> int:
 class Waiter:
     """A joinable async result (multicore.rs:94-118)."""
 
-    def __init__(self, future: Future):
+    def __init__(self, future: Future, pool_threads: Optional[set] = None):
         self._future = future
+        self._pool_threads = pool_threads
 
     def wait(self):
+        # Deadlock guard (multicore.rs:100-108): joining a Waiter FROM a
+        # pool worker thread can deadlock the pool (the waited job may be
+        # queued behind the waiter).  The reference logs an error and
+        # panics; raising is the Python equivalent.
+        if (
+            self._pool_threads is not None
+            and threading.get_ident() in self._pool_threads
+            and not self._future.done()
+        ):
+            raise RuntimeError(
+                "Waiter.wait() called from within a worker thread "
+                "(multicore.rs:100-108 misuse guard): this can deadlock "
+                "the pool; restructure to join from the spawning thread"
+            )
         return self._future.result()
 
     def done(self) -> bool:
@@ -56,7 +71,11 @@ class Worker:
             os.environ.get("BMT_NUM_THREADS", os.cpu_count() or 1)
         )
         # Backpressure: at most 4x thread count in-flight (multicore.rs:18).
-        self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        self._pool_threads: set = set()
+        self._pool = ThreadPoolExecutor(
+            max_workers=self.num_threads,
+            initializer=lambda: self._pool_threads.add(threading.get_ident()),
+        )
         self._sema = threading.Semaphore(4 * self.num_threads)
 
     def log_num_threads(self) -> int:
@@ -72,7 +91,7 @@ class Worker:
             finally:
                 self._sema.release()
 
-        return Waiter(self._pool.submit(run))
+        return Waiter(self._pool.submit(run), self._pool_threads)
 
     @contextmanager
     def scope(self, elements: int):

@@ -111,6 +111,24 @@ def main() -> None:
     t_sustained = (time.time() - t0) / n_batches
     log(f"pipelined sustained {t_sustained:.3f}s/batch for B={B}")
 
+    # p50 single-proof latency: full host+device round trip at B=1
+    # (synthesis -> encode -> device step -> decode), BASELINE.md "Targets".
+    import statistics
+
+    p50_ms = None
+    if os.environ.get("BMT_BENCH_P50", "1") == "1":
+        lat_wits = [
+            (rng.randrange(host.p), rng.randrange(host.p)) for _ in range(6)
+        ]
+        bp.prove_batch([MiMCDemo(constants, *lat_wits[0])])  # compile B=1
+        lats = []
+        for xl, xr in lat_wits[1:]:
+            t0 = time.time()
+            bp.prove_batch([MiMCDemo(constants, xl, xr)])
+            lats.append(time.time() - t0)
+        p50_ms = statistics.median(lats) * 1e3
+        log(f"p50 single-proof latency {p50_ms:.1f} ms (B=1, n=5)")
+
     # Decode + verify one proof for sanity.
     from bellman_mpc_tpu.curves.device import g1_device, g2_device
     from bellman_mpc_tpu.groth16.types import Proof
@@ -133,16 +151,17 @@ def main() -> None:
         f"device-only {B / t_device:.2f}); total bench wall {time.time() - t_start:.0f}s"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "mimc322_batched_proving_throughput",
-                "value": round(throughput, 3),
-                "unit": "proofs/sec/chip",
-                "vs_baseline": round(throughput / BASELINE_PROOFS_PER_SEC, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "mimc322_batched_proving_throughput",
+        "value": round(throughput, 3),
+        "unit": "proofs/sec/chip",
+        "vs_baseline": round(throughput / BASELINE_PROOFS_PER_SEC, 3),
+        "baseline_note": "denominator 10 proofs/s is a documented CPU "
+        "estimate; the reference publishes no numbers (BASELINE.md)",
+    }
+    if p50_ms is not None:
+        result["p50_single_proof_ms"] = round(p50_ms, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

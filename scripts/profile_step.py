@@ -137,6 +137,47 @@ def main():
         results[B]["bits_h_ms"] = round(t * 1e3, 1)
 
         # --- phase: each MSM ---------------------------------------------
+        if bp.msm_strategy == "rns" and not bp._merge_g1:
+            from bellman_mpc_tpu.curves.rns_point import rns_g1_ops, rns_g2_ops
+            from bellman_mpc_tpu.fields import bls12_381 as bc
+            from bellman_mpc_tpu.ops.msm import (
+                msm_table_affine_rns,
+                signed_digits,
+            )
+
+            bits_h = jnp.pad(
+                bits_from_mont(fr, h), ((0, 0), (0, 0), (0, bp.h_n - (bp.m - 1)))
+            )
+            names = [
+                ("h", bp.crs_h, g1_device),
+                ("l", bp.crs_l, g1_device),
+                ("a", bp.crs_a, g1_device),
+                ("b1", bp.crs_b1, g1_device),
+                ("b2", bp.crs_b2, g2_device),
+            ]
+            msm_total = 0.0
+            for nm, crs, grp in names:
+                N = crs[0].shape[-1]
+                idx, c_tab = bp._table_idx[id(crs)]
+                tab = bp._table_args[idx]
+                bound = bp._rns_bounds[id(crs)]
+                rops = rns_g2_ops() if grp is g2_device else rns_g1_ops()
+                digits_h = digits_from_bits(bits_h, c_tab)
+                dg = jnp.zeros((digits_h.shape[0], B, N), jnp.int32) + (
+                    digits_h[:, :, :N] if N <= digits_h.shape[-1] else 0
+                )
+                f = jax.jit(
+                    lambda t_, d_, r_=rops, b_=bound, c=c_tab: msm_table_affine_rns(
+                        r_, bc.fp, t_, signed_digits(d_, c), b_
+                    )
+                )
+                t = timeit(f, tab, dg)
+                msm_total += t
+                log(f"  msm[{nm:3s}] N={N:5d} c={c_tab:2d} {t * 1e3:8.1f} ms")
+                results[B][f"msm_{nm}_ms"] = round(t * 1e3, 1)
+            log(f"  msm total           {msm_total * 1e3:8.1f} ms")
+            results[B]["msm_total_ms"] = round(msm_total * 1e3, 1)
+
         if bp.msm_strategy == "table":
             from bellman_mpc_tpu.ops.msm import msm_table_affine, signed_digits
 

@@ -66,24 +66,25 @@ def test_batch_prover_table_matches_sequential(setup):
     _check(host, constants, params, pvk, bp, seed=3, B=2)
 
 
-def test_batch_prover_rns_matches_sequential(setup):
-    """RNS/MXU MSM strategy (merged G1 fold default) — bit-identical proofs."""
+def test_batch_prover_rns_matches_sequential(setup, monkeypatch):
+    """RNS/MXU MSM strategy (per-MSM folds default) — bit-identical proofs."""
+    monkeypatch.delenv("BMT_MERGE_G1", raising=False)
     host, constants, params, pvk = setup
     bp = BatchProver(
         BLS12_381, params, MiMCDemo(constants, 0, 0),
         msm_strategy="rns",
     )
-    assert bp._merge_g1  # the default: one segmented fold for h/l/a/b1
+    assert not bp._merge_g1  # default: the chip-verified per-MSM folds
     _check(host, constants, params, pvk, bp, seed=4, B=2)
 
 
-def test_batch_prover_rns_unmerged_matches_sequential(setup, monkeypatch):
-    """RNS strategy with per-MSM folds (BMT_MERGE_G1=0) stays correct."""
-    monkeypatch.setenv("BMT_MERGE_G1", "0")
+def test_batch_prover_rns_merged_matches_sequential(setup, monkeypatch):
+    """RNS strategy with the opt-in merged segmented G1 fold (BMT_MERGE_G1=1)."""
+    monkeypatch.setenv("BMT_MERGE_G1", "1")
     host, constants, params, pvk = setup
     bp = BatchProver(
         BLS12_381, params, MiMCDemo(constants, 0, 0),
         msm_strategy="rns",
     )
-    assert not bp._merge_g1
+    assert bp._merge_g1
     _check(host, constants, params, pvk, bp, seed=5, B=2)

@@ -65,6 +65,74 @@ def test_sharded_msm_matches_host():
 
 
 @needs_devices
+def test_sharded_table_affine_msm_matches_host():
+    """Mesh-sharded SIGNED-affine gather-table MSM (the shipping strategy)."""
+    from bellman_mpc_tpu.ops.msm import (
+        digits_from_bits,
+        signed_digits,
+        window_tables_affine,
+    )
+    from bellman_mpc_tpu.parallel.sharded import sharded_msm_table_affine
+
+    rng = random.Random(6)
+    n, B, c = 16, 2, 4
+    bases = [chost.G1.mul(chost.G1.generator, k + 9) for k in range(n)]
+    scalars = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
+    pts = g1_device.encode_points(bases)
+    bits = jnp.stack([scalars_to_bits(s, 255) for s in scalars], axis=1)
+    tables = jax.jit(lambda p: window_tables_affine(g1_device.ops, p, c))(pts)
+    sd = signed_digits(digits_from_bits(bits, c), c)
+    mesh = make_mesh(8, shape=(2, 4))
+    with mesh:
+        out = sharded_msm_table_affine(mesh, g1_device.ops, tables, sd)
+    got = g1_device.decode_points(tuple(x[..., 0] for x in out))
+    for b in range(B):
+        assert chost.G1.eq(got[b], chost.G1.msm(bases, scalars[b]))
+
+
+@needs_devices
+def test_mesh_batch_prover_bit_identical():
+    """BatchProver(mesh=...) sharded table-strategy proofs == single-device
+    proofs, bit for bit (deterministic blinding)."""
+    from bellman_mpc_tpu.groth16 import generate_random_parameters
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.models import MiMCDemo, mimc_constants
+    from bellman_mpc_tpu.parallel import BatchProver
+    from bellman_mpc_tpu.parallel.sharded import shard_batch_inputs
+
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=11, rounds=8)
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    mesh = make_mesh(8, shape=(4, 2))
+    wits = [(101 + i, 202 + i) for i in range(4)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in wits]
+
+    bp_mesh = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), mesh=mesh
+    )
+    assert bp_mesh.msm_strategy == "table"
+    provers = [bp_mesh.compiled.prove_assignment(c) for c in circuits]
+    args = shard_batch_inputs(mesh, bp_mesh.encode_witness(provers), batch_axis=0)
+    with mesh:
+        out = jax.jit(bp_mesh._step_fn)(*args, bp_mesh._table_args)
+        jax.block_until_ready(out)
+    from bellman_mpc_tpu.curves.device import g2_device
+    from bellman_mpc_tpu.groth16.types import Proof
+
+    g_a, g_b, g_c = out
+    pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
+    pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))
+    pc = g1_device.decode_points(tuple(x[..., 0] for x in g_c))
+    mesh_proofs = [Proof(a=a, b=b, c=c) for a, b, c in zip(pa, pb, pc)]
+
+    bp_single = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), msm_strategy="table"
+    )
+    single_proofs = bp_single.prove_batch(circuits)
+    assert mesh_proofs == single_proofs
+
+
+@needs_devices
 def test_sharded_table_msm_matches_host():
     """Mesh-sharded gather-table MSM (the TPU-default strategy, sharded)."""
     from bellman_mpc_tpu.ops.msm import digits_from_bits, window_tables

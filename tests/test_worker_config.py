@@ -32,6 +32,33 @@ def test_worker_scope_and_compute():
     assert waiter.done()
 
 
+def test_waiter_wait_inside_pool_guard():
+    """multicore.rs:100-108: joining a pending Waiter from a pool worker
+    thread is a deadlock hazard and must raise."""
+    import threading
+
+    w = Worker(num_threads=2)
+    release = threading.Event()
+    slow = w.compute(lambda: release.wait(5))
+
+    def misuse():
+        try:
+            slow.wait()  # pending + called from pool thread -> guard fires
+            return None
+        except RuntimeError as e:
+            return e
+
+    err_waiter = w.compute(misuse)
+    err = err_waiter.wait()
+    release.set()
+    assert isinstance(err, RuntimeError) and "worker thread" in str(err)
+    assert slow.wait() is True  # main-thread wait stays legal
+    # waiting on an already-done future from a pool thread is fine too
+    done = w.compute(lambda: 7)
+    done.wait()
+    assert w.compute(lambda: done.wait()).wait() == 7
+
+
 def test_config_from_env(monkeypatch):
     monkeypatch.setenv("BMT_MSM_STRATEGY", "pippenger")
     monkeypatch.setenv("BMT_PIPPENGER_C", "12")
