@@ -68,6 +68,44 @@ def _h_pipeline(field: LimbField, host: PrimeField, exp: int):
     return pipeline
 
 
+def _h_pipeline_sharded(field: LimbField, host: PrimeField, exp: int, mesh):
+    """h(x) pipeline with every NTT distributed over the mesh "model" axis
+    via the 4-step decomposition (parallel/sharded.sharded_ntt) — the
+    mesh-level form of the reference's parallel FFT (domain.rs:316-372).
+
+    Used for domains too large for one chip's memory (BatchProver picks it
+    when exp >= BMT_SHARD_NTT_EXP and a mesh is present); the pointwise
+    coset scalings/multiplies between NTT passes shard trivially by
+    propagation.  Semantics identical to `_h_pipeline`."""
+    from ..parallel.sharded import sharded_ntt
+
+    gen = host.generator
+    geninv = host.inv(gen)
+    m = 1 << exp
+    zinv = host.inv((pow(gen, m, host.p) - 1) % host.p)
+
+    from ..ops.domain import warm_twiddles
+
+    warm_twiddles(field, host, exp)
+
+    def coset_values(x):
+        x = sharded_ntt(mesh, field, host, x, inverse=True)
+        x = distribute_powers(field, host, x, gen)
+        return sharded_ntt(mesh, field, host, x, inverse=False)
+
+    def pipeline(a, b, c):
+        a = coset_values(a)
+        b = coset_values(b)
+        c = coset_values(c)
+        h = field.sub(field.mul(a, b), c)
+        h = field.mul_const(h, zinv)
+        h = sharded_ntt(mesh, field, host, h, inverse=True)
+        h = distribute_powers(field, host, h, geninv)
+        return h
+
+    return pipeline
+
+
 def synthesize_witness(engine: Engine, circuit: Circuit) -> ProvingAssignment:
     prover = ProvingAssignment(engine.fr_host)
     prover.alloc_input("", lambda: 1)  # prover.rs:198

@@ -180,9 +180,23 @@ class BatchProver:
 
     # ------------------------------------------------------------------ step
     def _build_step(self):
+        import os as _os
+
         fr = self.fr
         host = self.engine.fr_host
-        pipeline = _h_pipeline(fr, host, self.exp)
+        # Domains beyond one chip's memory: distribute the 7 NTT passes
+        # over the mesh "model" axis (4-step decomposition + ICI
+        # all-to-all; groth16/prover._h_pipeline_sharded).  Threshold 2^18
+        # ~= the largest domain whose 3x (L, B, m) working set plus tables
+        # comfortably fits a single v5e HBM at B=16; below it the local
+        # fused pipeline wins (no collective latency).
+        shard_exp = int(_os.environ.get("BMT_SHARD_NTT_EXP", "18"))
+        if self.mesh is not None and self.exp >= shard_exp:
+            from ..groth16.prover import _h_pipeline_sharded
+
+            pipeline = _h_pipeline_sharded(fr, host, self.exp, self.mesh)
+        else:
+            pipeline = _h_pipeline(fr, host, self.exp)
         g1o, g2o = g1_device.ops, g2_device.ops
 
         def pad_scalars(bits, n):
@@ -252,19 +266,26 @@ class BatchProver:
                 # RNS tables on the base axis.  Segment widths stay native
                 # (no identity padding): the segmented reduction in
                 # msm_table_affine_rns handles unequal power-of-two widths.
-                n_max = max(crs[0].shape[-1] for crs in crs_g1)
+                # The window width is budgeted against the SUM of segment
+                # widths — the merged table holds all segments at once, so
+                # sizing it off one set's width would overshoot HBM ~4x.
                 self._g1_seg_sizes = tuple(
                     crs[0].shape[-1] for crs in crs_g1
                 )
+                n_sum = sum(self._g1_seg_sizes)
                 c_tab = c_env or (
                     4
                     if jax.default_backend() == "cpu"
-                    else pick_table_c(n_max, g2=False, budget_mb=budget)
+                    else pick_table_c(n_sum, g2=False, budget_mb=budget)
                 )
                 from ..curves.rns_point import rns_g1_ops
 
                 rns_tabs, bound = [], None
+                rns_by_id = {}
                 for crs in crs_g1:
+                    if id(crs) in rns_by_id:  # aliased CRS sets share a table
+                        rns_tabs.append(rns_by_id[id(crs)])
+                        continue
                     tab = jax.jit(
                         lambda pts, c=c_tab: window_tables_affine(
                             g1_device.ops, pts, c
@@ -273,12 +294,13 @@ class BatchProver:
                     rt, bound = tables_to_rns(rns_g1_ops(), bc.fp, tab)
                     rt = jax.block_until_ready(rt)
                     del tab  # free the limb table before the next build
+                    rns_by_id[id(crs)] = rt
                     rns_tabs.append(rt)
                 merged_tab = tuple(
                     jnp.concatenate([t[k] for t in rns_tabs], axis=-1)
                     for k in range(2)
                 )
-                del rns_tabs
+                del rns_tabs, rns_by_id
                 self._g1_merged = (len(table_args), c_tab, bound)
                 table_args.append(merged_tab)
             remaining = (() if self._merge_g1 else crs_g1) + crs_g2

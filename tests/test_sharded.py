@@ -133,6 +133,49 @@ def test_mesh_batch_prover_bit_identical():
 
 
 @needs_devices
+def test_mesh_prover_sharded_ntt_bit_identical(monkeypatch):
+    """With BMT_SHARD_NTT_EXP forced to 0, the mesh prover runs every NTT
+    through the distributed 4-step pipeline — proofs must stay bit-identical
+    to the single-device prover."""
+    monkeypatch.setenv("BMT_SHARD_NTT_EXP", "0")
+    from bellman_mpc_tpu.groth16 import generate_random_parameters
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.models import MiMCDemo, mimc_constants
+    from bellman_mpc_tpu.parallel import BatchProver
+    from bellman_mpc_tpu.parallel.sharded import shard_batch_inputs
+
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=13, rounds=8)
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    mesh = make_mesh(8, shape=(2, 4))
+    wits = [(55 + i, 66 + i) for i in range(2)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in wits]
+
+    bp_mesh = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), mesh=mesh
+    )
+    provers = [bp_mesh.compiled.prove_assignment(c) for c in circuits]
+    args = shard_batch_inputs(mesh, bp_mesh.encode_witness(provers), batch_axis=0)
+    with mesh:
+        out = jax.jit(bp_mesh._step_fn)(*args, bp_mesh._table_args)
+        jax.block_until_ready(out)
+    from bellman_mpc_tpu.curves.device import g2_device
+    from bellman_mpc_tpu.groth16.types import Proof
+
+    g_a, g_b, g_c = out
+    pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
+    pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))
+    pc = g1_device.decode_points(tuple(x[..., 0] for x in g_c))
+    mesh_proofs = [Proof(a=a, b=b, c=c) for a, b, c in zip(pa, pb, pc)]
+
+    monkeypatch.delenv("BMT_SHARD_NTT_EXP")
+    bp_single = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), msm_strategy="table"
+    )
+    assert mesh_proofs == bp_single.prove_batch(circuits)
+
+
+@needs_devices
 def test_sharded_table_msm_matches_host():
     """Mesh-sharded gather-table MSM (the TPU-default strategy, sharded)."""
     from bellman_mpc_tpu.ops.msm import digits_from_bits, window_tables
