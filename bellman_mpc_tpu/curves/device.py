@@ -499,15 +499,29 @@ def scalar_mul_const(ops, p: Point, k: int) -> Point:
 
 
 def tree_reduce(ops, p: Point) -> Point:
-    """Sum all points along the LAST batch axis (must be a power of two)."""
+    """Sum all points along the LAST batch axis (must be a power of two).
+
+    The halving is expressed as reshape (..., n) -> (..., 2, m) + index on
+    the new axis rather than strided :m / m: slicing: the slice form of this
+    exact loop triggers an XLA:TPU layout-assignment miscompile at N>=128
+    when compiled standalone (round-4/5 bisection, DESIGN-NOTES.md;
+    scripts/probe_fix_variants.py — slice MISMATCH 16/16, reshape exact).
+    Both forms compute the identical first-half + second-half pairing.
+    """
     X, Y, Z = p
     n = X.shape[-1]
     assert n & (n - 1) == 0
     while n > 1:
         half = n // 2
-        left = (X[..., :half], Y[..., :half], Z[..., :half])
-        right = (X[..., half:], Y[..., half:], Z[..., half:])
-        X, Y, Z = point_add(ops, left, right)
+
+        def _halves(t):
+            t2 = t.reshape(t.shape[:-1] + (2, half))
+            return t2[..., 0, :], t2[..., 1, :]
+
+        hx, hy, hz = _halves(X), _halves(Y), _halves(Z)
+        X, Y, Z = point_add(
+            ops, (hx[0], hy[0], hz[0]), (hx[1], hy[1], hz[1])
+        )
         n = half
     return (X, Y, Z)
 

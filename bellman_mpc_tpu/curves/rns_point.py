@@ -274,19 +274,27 @@ def point_double(ops, p: RPoint) -> RPoint:
 def tree_reduce(ops, p: RPoint, cap) -> RPoint:
     """Sum points along the LAST batch axis (a power of two), re-pinning
     the coordinate bound to `cap` after every halving (sound: point_add's
-    output bounds are <= cap whenever its input bounds are — asserted)."""
+    output bounds are <= cap whenever its input bounds are — asserted).
+
+    The halving is reshape (..., n) -> (..., 2, m) + index, NOT strided
+    :m / m: slicing: the slice form compiled STANDALONE miscompiles on
+    XLA:TPU at N>=128 (the round-4 layout-assignment bug; the reshape
+    form is exact at every probed shape — scripts/probe_fix_variants.py).
+    Both compute the identical first-half + second-half pairing."""
     X, Y, Z = p
     n = X.res.shape[-1]
     assert n & (n - 1) == 0
 
-    def half(v: RnsVal, lo: bool) -> RnsVal:
+    def halves(v: RnsVal):
         m = v.res.shape[-1] // 2
-        return ops.wrap(v.res[..., :m] if lo else v.res[..., m:], v.a)
+        r2 = v.res.reshape(v.res.shape[:-1] + (2, m))
+        return ops.wrap(r2[..., 0, :], v.a), ops.wrap(r2[..., 1, :], v.a)
 
     while n > 1:
-        left = tuple(half(v, True) for v in (X, Y, Z))
-        right = tuple(half(v, False) for v in (X, Y, Z))
-        X, Y, Z = point_add(ops, left, right)
+        hx, hy, hz = halves(X), halves(Y), halves(Z)
+        X, Y, Z = point_add(
+            ops, (hx[0], hy[0], hz[0]), (hx[1], hy[1], hz[1])
+        )
         assert max(X.a, Y.a, Z.a) <= cap, "tree_reduce bound escape"
         X, Y, Z = (ops.wrap(v.res, cap) for v in (X, Y, Z))
         n //= 2

@@ -133,6 +133,30 @@ class Bls12Engine(Engine):
     def final_exponentiation(self, ml):
         return ph.final_exponentiation(ml)
 
+    def pairing_product_is_one(self, terms) -> bool:
+        """Device-fused pairing-product check (verifier.rs:49-56 shape).
+
+        On TPU the whole equation — batched Miller loops, Fp12 product
+        tree, Granger–Scott x-chain final exponentiation — is ONE jitted
+        program (ops/pairing.pairing_product_is_one).  On the CPU backend
+        the generic path keeps test compile times bounded (host Miller
+        loops for small term counts; the n>=4 device batch as today)."""
+        terms = [(p, q) for p, q in terms if p is not None and q is not None]
+        if not terms:
+            return True
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # host oracle loop: CPU XLA pairing compiles cost minutes and
+            # the CPU suite only ever checks small verify calls
+            acc = FP12_ONE
+            for p, q in terms:
+                acc = fp12_mul(acc, ph.miller_loop(p, q))
+            return self.gt_is_one(ph.final_exponentiation(acc))
+        from ..ops.pairing import pairing_product_is_one as _dev
+
+        return _dev([t[0] for t in terms], [t[1] for t in terms])
+
     def gt_eq(self, a, b) -> bool:
         return fp12_eq(a, b)
 

@@ -135,6 +135,25 @@ class CompiledCircuit:
             eval_table(self.c_terms),
         )
 
+    def prove_bytes(self, circuit: Circuit, nbytes: int):
+        """Fast per-proof path: witness synthesis + native LC eval straight
+        to packed wire bytes (no Python bigints for a/b/c).
+
+        Returns (in_limbs (n_in,4) u64, aux_limbs (n_aux,4) u64,
+        a8/b8/c8 (n_cons, nbytes) uint8) — the byte rows are exactly what
+        `LimbField.pack_std` would produce.  Requires the native library."""
+        from .. import native
+
+        inputs, aux = self.witness(circuit)
+        in_arr = native.vals_to_limbs(inputs)
+        aux_arr = native.vals_to_limbs(aux)
+        p = self.field.p
+        a8, b8, c8 = (
+            native.lc_eval_bytes(t, in_arr, aux_arr, p, nbytes)
+            for t in self._packed
+        )
+        return in_arr, aux_arr, a8, b8, c8
+
     def prove_assignment(self, circuit: Circuit) -> ProvingAssignment:
         """A ProvingAssignment equivalent to full synthesis, built fast."""
         inputs, aux = self.witness(circuit)

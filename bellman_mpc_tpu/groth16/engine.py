@@ -152,6 +152,14 @@ class Engine:
         """Is `a` the identity of Gt (mirrors E::Gt::identity())."""
         raise NotImplementedError
 
+    def pairing_product_is_one(self, terms: Sequence[Tuple[object, object]]) -> bool:
+        """prod_i e(p_i, q_i) == 1 — the pairing-equation shape both
+        verifiers reduce to (verifier.rs:49-56, verifier/batch.rs:164-168).
+        Engines may override with a fused device kernel (the BLS engine
+        runs Miller loops + product + an equality-preserving final
+        exponentiation in one program)."""
+        return self.gt_is_one(self.final_exponentiation(self.multi_miller_loop(terms)))
+
     def prepare_g2(self, q):
         """Hook mirroring G2Prepared (identity transform by default)."""
         return q

@@ -92,9 +92,16 @@ class Parameters:
 
 @dataclass
 class PreparedVerifyingKey:
-    """e(alpha, beta) cached; -gamma2/-delta2 prepared (mod.rs:403-412)."""
+    """e(alpha, beta) cached; -gamma2/-delta2 prepared (mod.rs:403-412).
+
+    `neg_alpha_g1`/`beta_g2` let the verifier run its check as
+    e(A,B) e(acc,-gamma) e(C,-delta) e(-alpha,beta) == 1 in ONE fused
+    device program (Engine.pairing_product_is_one); `alpha_g1_beta_g2`
+    is kept for the reference-parity Gt comparison fallback."""
 
     alpha_g1_beta_g2: object  # Gt
     neg_gamma_g2: object
     neg_delta_g2: object
     ic: List[object]
+    neg_alpha_g1: object = None
+    beta_g2: object = None

@@ -22,6 +22,8 @@ def prepare_verifying_key(engine: Engine, vk: VerifyingKey) -> PreparedVerifying
         neg_gamma_g2=engine.prepare_g2(engine.g2.neg(vk.gamma_g2)),
         neg_delta_g2=engine.prepare_g2(engine.g2.neg(vk.delta_g2)),
         ic=list(vk.ic),
+        neg_alpha_g1=engine.g1.neg(vk.alpha_g1),
+        beta_g2=engine.prepare_g2(vk.beta_g2),
     )
 
 
@@ -44,14 +46,19 @@ def verify_proof(
     for x, ic in zip(public_inputs, pvk.ic[1:]):
         acc = G1.add(acc, G1.mul(ic, x))
 
-    lhs = engine.final_exponentiation(
-        engine.multi_miller_loop(
-            [
-                (proof.a, engine.prepare_g2(proof.b)),
-                (acc, pvk.neg_gamma_g2),
-                (proof.c, pvk.neg_delta_g2),
-            ]
+    terms = [
+        (proof.a, engine.prepare_g2(proof.b)),
+        (acc, pvk.neg_gamma_g2),
+        (proof.c, pvk.neg_delta_g2),
+    ]
+    if pvk.neg_alpha_g1 is not None:
+        # e(A,B) e(acc,-gamma) e(C,-delta) e(-alpha,beta) == 1: the whole
+        # check is one pairing-product program (device-fused on BLS).
+        ok = engine.pairing_product_is_one(
+            terms + [(pvk.neg_alpha_g1, pvk.beta_g2)]
         )
-    )
-    if not engine.gt_eq(lhs, pvk.alpha_g1_beta_g2):
+    else:
+        lhs = engine.final_exponentiation(engine.multi_miller_loop(terms))
+        ok = engine.gt_eq(lhs, pvk.alpha_g1_beta_g2)
+    if not ok:
         raise InvalidProof()

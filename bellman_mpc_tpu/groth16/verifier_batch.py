@@ -70,6 +70,5 @@ class BatchVerifier:
         ml_terms.append((psi, engine.prepare_g2(vk.gamma_g2)))
         ml_terms.append((G1.mul(vk.alpha_g1, acc_y), engine.prepare_g2(vk.beta_g2)))
 
-        result = engine.final_exponentiation(engine.multi_miller_loop(ml_terms))
-        if not engine.gt_is_one(result):
+        if not engine.pairing_product_is_one(ml_terms):
             raise InvalidProof()

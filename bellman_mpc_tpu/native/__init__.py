@@ -43,6 +43,13 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_uint32,
         ]
         lib.lc_eval.restype = None
+        lib.lc_eval_mod.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ]
+        lib.lc_eval_mod.restype = None
         _lib = lib
     except Exception:
         _lib = None
@@ -84,6 +91,64 @@ class PackedLcTable:
                 k += 1
         self.offsets[self.n_cons] = k
         self.coeffs = _vals_to_limbs(coeffs)
+
+
+_MOD_CONSTS = {}
+
+
+def _mod_consts(modulus: int):
+    """(p_limbs, rk, mu) arrays for the C reducer, cached per modulus."""
+    if modulus not in _MOD_CONSTS:
+        p_limbs = _vals_to_limbs([modulus])
+        rk = _vals_to_limbs([pow(2, 64 * k, modulus) for k in range(5, 9)])
+        mu_v = (1 << 322) // modulus
+        mu = np.asarray([mu_v & ((1 << 64) - 1), mu_v >> 64], np.uint64)
+        _MOD_CONSTS[modulus] = (p_limbs, rk, mu)
+    return _MOD_CONSTS[modulus]
+
+
+def lc_eval_bytes(
+    table: PackedLcTable,
+    in_arr: np.ndarray,
+    aux_arr: np.ndarray,
+    modulus: int,
+    nbytes: int,
+) -> np.ndarray:
+    """Evaluate all constraints' LCs mod `modulus` straight to packed
+    little-endian bytes ((n_cons, nbytes) uint8, the pack_std wire format).
+
+    in_arr/aux_arr are (n, 4) u64 limb arrays from `vals_to_limbs`; the
+    reduction and byte packing run in C (no Python bigints on this path)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    # the C reducer's Barrett stage assumes a 255-bit modulus
+    assert (1 << 254) < modulus < (1 << 255)
+    p_limbs, rk, mu = _mod_consts(modulus)
+    if aux_arr.shape[0] == 0:
+        aux_arr = np.zeros((1, 4), np.uint64)
+    out = np.zeros((table.n_cons, nbytes), dtype=np.uint8)
+    lib.lc_eval_mod(
+        in_arr.ctypes.data, aux_arr.ctypes.data,
+        table.offsets.ctypes.data, table.kinds.ctypes.data,
+        table.indices.ctypes.data, table.coeffs.ctypes.data,
+        p_limbs.ctypes.data, rk.ctypes.data, mu.ctypes.data,
+        out.ctypes.data, nbytes, table.n_cons,
+    )
+    return out
+
+
+def vals_to_limbs(vals: List[int]) -> np.ndarray:
+    """Public alias: host ints (< 2^256) -> (n, 4) u64 LE limb array."""
+    return _vals_to_limbs(vals)
+
+
+def limbs_to_bytes(arr: np.ndarray, nbytes: int) -> np.ndarray:
+    """(n, 4) u64 LE limbs -> (n, nbytes) uint8 (pack_std wire format)."""
+    raw = arr.view(np.uint8).reshape(arr.shape[0], 32)
+    if nbytes <= 32:
+        return raw[:, :nbytes]
+    return np.pad(raw, ((0, 0), (0, nbytes - 32)))
 
 
 def lc_eval(

@@ -276,6 +276,54 @@ def pairing_batch(g1_pts: Sequence, g2_pts: Sequence):
     return tw.fp12_decode(out)[:n]
 
 
+def _fp12_batch_product(f):
+    """Product of a (..., m) batch of Fp12 values along the trailing batch
+    axis via a log-depth multiply tree -> batch (..., 1)."""
+    m = f[0][0][0].shape[-1]
+    while m > 1:
+        h = m // 2
+        lo = jax.tree_util.tree_map(lambda x: x[..., :h], f)
+        hi = jax.tree_util.tree_map(lambda x: x[..., h : 2 * h], f)
+        prod = tw.fp12_mul(lo, hi)
+        if m % 2:
+            prod = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a, b[..., 2 * h :]], axis=-1),
+                prod,
+                f,
+            )
+        f = prod
+        m = h + (m % 2)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_product_is_one(n: int):
+    def run(px, py, qx, qy, mask):
+        ml = miller_loop_batch(px, py, qx, qy, mask)
+        f = _fp12_batch_product(ml)
+        e = final_exp_eq_batch(f)
+        return tw.fp12_is_one(e)[0]
+
+    return jax.jit(run)
+
+
+def pairing_product_is_one(g1_pts: Sequence, g2_pts: Sequence) -> bool:
+    """prod_i e(P_i, Q_i) == 1 entirely on device: ONE batched Miller loop,
+    a log-depth Fp12 product tree, and ONE equality-preserving final
+    exponentiation (the Granger–Scott x-chain, final_exp_eq_batch).
+
+    This is the device form of the verifier's pairing check
+    (bellman/src/groth16/verifier.rs:49-56 rearranged as
+    e(A,B) e(acc,-gamma) e(C,-delta) e(-alpha,beta) == 1, and
+    verifier/batch.rs:164-168 verbatim)."""
+    n = len(g1_pts)
+    m = _bucket(n)
+    px, py, v1 = _encode_g1(_pad(g1_pts, m))
+    qx, qy, v2 = _encode_g2(_pad(g2_pts, m))
+    out = _jit_product_is_one(m)(px, py, qx, qy, jnp.asarray(v1 & v2))
+    return bool(out)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_pairing_eq(n: int):
     def run(p1x, p1y, q1x, q1y, m1, p2x, p2y, q2x, q2y, m2):

@@ -587,13 +587,42 @@ class BatchProver:
         wit_aux = enc([p.aux_assignment for p in provers], self.num_aux)
         return a, b, c, wit_in, wit_aux
 
+    def encode_circuits(self, circuits: Sequence[Circuit]):
+        """Fused synthesis+encode: witness -> native C LC eval -> packed
+        wire bytes, no Python-bigint round trip for the a/b/c rows
+        (groth16/compiled.prove_bytes).  Falls back to the assignment path
+        when the native library is unavailable."""
+        from .. import native
+
+        if not native.available():
+            provers = [self.compiled.prove_assignment(c) for c in circuits]
+            return self.encode_witness(provers)
+        fr = self.fr
+        B = len(circuits)
+        m = self.m
+        nb = fr.nbytes
+        a8 = np.zeros((B, m, nb), np.uint8)
+        b8 = np.zeros((B, m, nb), np.uint8)
+        c8 = np.zeros((B, m, nb), np.uint8)
+        wi = np.zeros((B, self.num_inputs, nb), np.uint8)
+        wa = np.zeros((B, self.num_aux, nb), np.uint8)
+        n_cons = self.num_constraints
+        for i, circ in enumerate(circuits):
+            in_arr, aux_arr, ra, rb, rc = self.compiled.prove_bytes(circ, nb)
+            a8[i, :n_cons] = ra
+            b8[i, :n_cons] = rb
+            c8[i, :n_cons] = rc
+            wi[i] = native.limbs_to_bytes(in_arr, nb)
+            if self.num_aux:
+                wa[i] = native.limbs_to_bytes(aux_arr, nb)
+        return tuple(jnp.asarray(x) for x in (a8, b8, c8, wi, wa))
+
     def prove_batch(self, circuits: Sequence[Circuit]) -> List[Proof]:
         """Host synthesis per circuit + one device step + decode.
 
         Witness synthesis uses the compiled-circuit fast path (native C
-        LC evaluation; groth16/compiled.py)."""
-        provers = [self.compiled.prove_assignment(c) for c in circuits]
-        a, b, c, wit_in, wit_aux = self.encode_witness(provers)
+        LC evaluation straight to wire bytes; groth16/compiled.py)."""
+        a, b, c, wit_in, wit_aux = self.encode_circuits(circuits)
         g_a, g_b, g_c = self._step(a, b, c, wit_in, wit_aux, self._table_args)
         pa = g1_device.decode_points(tuple(x[..., 0] for x in g_a))
         pb = g2_device.decode_points(tuple(x[..., 0] for x in g_b))

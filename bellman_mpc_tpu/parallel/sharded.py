@@ -5,8 +5,8 @@ count) and batch-of-proofs.  Mapping:
 
   * "data" mesh axis  — batch of proofs (embarrassingly parallel DP axis)
   * "model" mesh axis — MSM base-set sharding: each device reduces its shard
-    of the CRS bases, partial sums combine with an all_gather over ICI plus a
-    log-depth on-device group-add tree (group addition is not psum-able).
+    of the CRS bases, partial sums combine with a log-depth ppermute
+    butterfly over ICI (group addition is not psum-able).
 
 This is the TPU-native replacement for the reference's intra-process
 parallel decompositions (window-parallel Pippenger multiexp.rs:238-249 and
@@ -30,6 +30,28 @@ from ..curves.device import (
 )
 
 
+def _butterfly_combine(ops, part, axis: str, n_devices: int):
+    """All-reduce of group-point partials over a mesh axis in log2(D) steps.
+
+    Group addition is not psum-able, so the combine is a recursive-doubling
+    butterfly: at step s every device exchanges its running partial with the
+    device whose axis index differs in bit s (one `ppermute` over ICI) and
+    adds it — after log2(D) steps every device holds the full sum.  Each
+    device performs exactly log2(D) point additions at local width, versus
+    the O(D) fully-replicated sequential adds of an all_gather + loop (the
+    scalable form of the reference's window fold, multiexp.rs:238-249).
+    """
+    step = 1
+    while step < n_devices:
+        perm = [(i, i ^ step) for i in range(n_devices)]
+        other = jax.tree_util.tree_map(
+            lambda x: jax.lax.ppermute(x, axis, perm), part
+        )
+        part = point_add(ops, part, other)
+        step *= 2
+    return part
+
+
 def sharded_msm(mesh: Mesh, ops, points, bits):
     """MSM with bases sharded over the "model" axis, proofs over "data".
 
@@ -46,15 +68,8 @@ def sharded_msm(mesh: Mesh, ops, points, bits):
     def local(px, py, pz, bits):
         per = scalar_mul_bits(ops, (px[..., None, :], py[..., None, :], pz[..., None, :]), bits)
         part = tree_reduce(ops, per)  # local partial (L, [2,] B_loc, 1)
-        # Combine partials across the model axis: gather + add tree.
-        gathered = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, "model"), part
-        )  # each coord: (n_model, L, [2,] B_loc, 1)
-        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
-        for k in range(1, n_model):
-            nxt = jax.tree_util.tree_map(lambda x, k=k: x[k], gathered)
-            acc = point_add(ops, acc, nxt)
-        return acc
+        # Combine partials across the model axis: log-depth butterfly.
+        return _butterfly_combine(ops, part, "model", n_model)
 
     fn = jax.shard_map(
         local,
@@ -72,8 +87,8 @@ def sharded_msm_table(mesh: Mesh, ops, tables, digits):
 
     tables: coord tuple (L, [2,] W, 2^c, N) from `window_tables` (the N axis
     is sharded); digits: (W, B, N).  Each device folds its base shard with
-    the single-chip kernel, then partials combine with an all_gather over
-    ICI + a log-depth group-add tree (group addition is not psum-able).
+    the single-chip kernel, then partials combine with a log-depth
+    recursive-doubling butterfly over ICI (_butterfly_combine).
     """
     from ..ops.msm import msm_table
 
@@ -85,14 +100,7 @@ def sharded_msm_table(mesh: Mesh, ops, tables, digits):
 
     def local(tx, ty, tz, dig):
         part = msm_table(ops, (tx, ty, tz), dig)  # (L, [2,] B_loc, 1)
-        gathered = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, "model"), part
-        )
-        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
-        for k in range(1, n_model):
-            nxt = jax.tree_util.tree_map(lambda x, k=k: x[k], gathered)
-            acc = point_add(ops, acc, nxt)
-        return acc
+        return _butterfly_combine(ops, part, "model", n_model)
 
     fn = jax.shard_map(
         local,
@@ -114,8 +122,8 @@ def sharded_msm_table_affine(mesh: Mesh, ops, tables, sdigits):
     over "data", N over "model").  Each device runs the unmodified
     single-chip fold on its base shard — the (0,0) identity sentinel and
     complete mixed addition make shards independent — and the per-shard
-    partial sums combine with an all_gather over ICI plus a log-depth
-    group-add tree (group addition is not psum-able).  This is the
+    partial sums combine with a log-depth recursive-doubling ppermute
+    butterfly over ICI (_butterfly_combine).  This is the
     mesh-level form of the reference's window-parallel Pippenger
     decomposition (bellman/src/multiexp.rs:238-249), applied to the base
     axis instead (SURVEY.md §2.6)."""
@@ -129,14 +137,7 @@ def sharded_msm_table_affine(mesh: Mesh, ops, tables, sdigits):
 
     def local(tx, ty, dig):
         part = msm_table_affine(ops, (tx, ty), dig)  # (L, [2,] B_loc, 1)
-        gathered = jax.tree_util.tree_map(
-            lambda x: jax.lax.all_gather(x, "model"), part
-        )
-        acc = jax.tree_util.tree_map(lambda x: x[0], gathered)
-        for k in range(1, n_model):
-            nxt = jax.tree_util.tree_map(lambda x, k=k: x[k], gathered)
-            acc = point_add(ops, acc, nxt)
-        return acc
+        return _butterfly_combine(ops, part, "model", n_model)
 
     fn = jax.shard_map(
         local,

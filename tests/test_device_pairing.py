@@ -103,6 +103,51 @@ def test_bls_batch_verifier_device_path():
         bad.verify(BLS12_381, params.vk, random.Random(33))
 
 
+def test_single_proof_device_verify():
+    """verify_proof's n=3(+alpha) case through the fused device pairing
+    product (Engine.pairing_product_is_one; verifier.rs:23-62 parity —
+    valid proof accepted, wrong public input rejected)."""
+    import jax
+
+    from bellman_mpc_tpu.groth16 import (
+        create_random_proof,
+        generate_random_parameters,
+        prepare_verifying_key,
+        verify_proof,
+    )
+    from bellman_mpc_tpu.groth16.bls12 import BLS12_381
+    from bellman_mpc_tpu.r1cs import InvalidProof
+    from tests.test_groth16_bls import MySillyCircuit
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("device verify path requires the real chip")
+
+    params = generate_random_parameters(BLS12_381, MySillyCircuit())
+    pvk = prepare_verifying_key(BLS12_381, params.vk)
+    assert pvk.neg_alpha_g1 is not None
+    rng = random.Random(5)
+    a, b = rng.randrange(R), rng.randrange(R)
+    proof = create_random_proof(BLS12_381, MySillyCircuit(a, b), params)
+    verify_proof(BLS12_381, pvk, proof, [a * b % R])
+    with pytest.raises(InvalidProof):
+        verify_proof(BLS12_381, pvk, proof, [a * b % R + 1])
+
+
+def test_pairing_product_is_one_kernel():
+    """ops.pairing.pairing_product_is_one: e(aG,bG2) e(-abG,G2) == 1."""
+    from bellman_mpc_tpu.ops.pairing import pairing_product_is_one
+
+    a = G1.mul(G1.generator, 9)
+    b = G2.mul(G2.generator, 13)
+    ok = pairing_product_is_one(
+        [a, G1.neg(G1.mul(G1.generator, 117))], [b, G2.generator]
+    )
+    bad = pairing_product_is_one(
+        [a, G1.neg(G1.mul(G1.generator, 116))], [b, G2.generator]
+    )
+    assert ok is True and bad is False
+
+
 def test_pairing_eq_batch():
     a = G1.mul(G1.generator, 7)
     b = G2.mul(G2.generator, 11)

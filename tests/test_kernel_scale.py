@@ -102,19 +102,15 @@ def test_msm_table_affine_2e14(chip_setup):
 
 
 @needs_tpu
-@pytest.mark.xfail(
-    strict=False,
-    reason="OPEN XLA:TPU miscompile (round-4 bisection): the STANDALONE "
-    "rns fold+reduce program is wrong at N>=128 while the identical code "
-    "compiled inside the full prove step verifies (bench.py green, "
-    "bit-identical proofs).  Fold accumulator is lane-exact standalone "
-    "(scripts/probe_lane_pattern.py); single point_add/mixed are exact at "
-    "all shapes (scripts/probe_tree_level.py); an optimization_barrier "
-    "between fold and reduce does not help.  Tracked in DESIGN-NOTES.md; "
-    "the shipping composed program is gated by scripts/chip_gate.py.",
-)
 def test_msm_rns_bench_scale(chip_setup):
-    """RNS/MXU MSM at the bench CRS shapes, incl. the b1 width (N=512)."""
+    """RNS/MXU MSM at the bench CRS shapes, incl. the b1 width (N=512).
+
+    Was an xfail through round 4: the slice-based tree_reduce triggered an
+    XLA:TPU layout-assignment miscompile when this program was compiled
+    STANDALONE (wrong at N>=128, correct inside the full prove step).
+    Round 5 reformulated the halving as reshape-based pairwise adds
+    (curves/rns_point.tree_reduce), which is exact standalone at every
+    probed shape (scripts/probe_fix_variants.py)."""
     _check_msm("rns", 1024, 16, 8)
     _check_msm("rns", 512, 16, 8)
 

@@ -50,6 +50,61 @@ def test_native_lc_eval_matches_python():
         assert got[c] == acc % p
 
 
+def test_native_lc_eval_bytes_matches_lc_eval():
+    """The C-side reduction + byte packing equals lc_eval % p + pack_std."""
+    p = BLS12_381.fr_host.p
+    nb = BLS12_381.fr.nbytes
+    rng = random.Random(17)
+    # adversarial coefficients/values near p maximize the 576-bit accumulator
+    rows = []
+    for _ in range(50):
+        n_terms = rng.randrange(0, 8)
+        rows.append(
+            [
+                (rng.randrange(2), rng.randrange(2), rng.choice(
+                    [p - 1, p - 2, rng.randrange(p), 1]
+                ))
+                for _ in range(n_terms)
+            ]
+        )
+    table = native.PackedLcTable(rows)
+    inputs = [1, p - 1]
+    aux = [p - 1, rng.randrange(p)]
+    want = native.lc_eval(table, inputs, aux, p)
+    got = native.lc_eval_bytes(
+        table,
+        native.vals_to_limbs(inputs),
+        native.vals_to_limbs(aux),
+        p,
+        nb,
+    )
+    want_bytes = BLS12_381.fr.pack_std(want)
+    assert (got == want_bytes).all()
+
+
+def test_batch_prover_encode_circuits_matches_assignment_path():
+    """encode_circuits (native bytes path) == encode_witness (bigint path)."""
+    from bellman_mpc_tpu.groth16 import generate_random_parameters
+    from bellman_mpc_tpu.parallel import BatchProver
+
+    host = BLS12_381.fr_host
+    constants = mimc_constants(host, seed=5, rounds=6)
+    params = generate_random_parameters(BLS12_381, MiMCDemo(constants))
+    bp = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0), msm_strategy="ladder"
+    )
+    rng = random.Random(21)
+    wits = [(rng.randrange(host.p), rng.randrange(host.p)) for _ in range(3)]
+    circuits = [MiMCDemo(constants, xl, xr) for xl, xr in wits]
+    provers = [bp.compiled.prove_assignment(c) for c in circuits]
+    want = bp.encode_witness(provers)
+    got = bp.encode_circuits(circuits)
+    import numpy as np
+
+    for g, w in zip(got, want):
+        assert (np.asarray(g) == np.asarray(w)).all()
+
+
 @pytest.mark.parametrize("engine", [DUMMY, BLS12_381], ids=["mock", "bls"])
 def test_compiled_circuit_matches_full_synthesis(engine):
     host = engine.fr_host
