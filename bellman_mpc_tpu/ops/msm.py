@@ -769,24 +769,79 @@ def msm_table_affine_rns(
     return rpt.rns_point_to_limb(rops, rops.f, lf, red)
 
 
-def pick_table_c(n: int, g2: bool, budget_mb: int = 1536) -> int:
+def pick_table_c(n: int, g2: bool, budget_mb: int = 1536, nbits: int = 255) -> int:
     """Largest signed window width c whose affine table fits the budget.
 
-    Table memory = (ceil(255/c)+1) * (2^(c-1)+1) * n points, 288 B per G1
+    Table memory = (ceil(nbits/c)+1) * (2^(c-1)+1) * n points, 288 B per G1
     point (two 36-limb int32 coords) or 576 B per G2 point.  Small base
     sets get wider windows (n<=4: up to c=12 -> 23 window adds vs 64)
     while big CRS sets settle around c=8 (33 adds).  The cap keeps the
     build-time bucket chain (2^(c-1) sequential point adds) proportionate.
+    `nbits` < 255 models GLV-decomposed scalars (ops/glv.py): fewer windows
+    for the same base count.
     """
     bytes_per = 576 if g2 else 288
     cap = 12 if n <= 4 else 8
     best = 4
     for c in range(4, cap + 1):
-        W = -(-255 // c) + 1
+        W = -(-nbits // c) + 1
         nb = (1 << (c - 1)) + 1
         if W * nb * n * bytes_per <= budget_mb * (1 << 20):
             best = c
     return best
+
+
+def psi_extend_affine_tables_g2(field, tables):
+    """GLS-4 base extension of affine limb G2 tables: coords
+    (L, 2, W, nb, N) -> (L, 2, W, nb, 4N); block m holds psi^m(T[w,b,i]).
+
+    psi(x, y) = (c_x * conj(x), c_y * conj(y)) with the Frobenius conjugate
+    folded into the constant multiply:
+    c * conj(a) = (c0*a0 + c1*a1) + (c0*a1... see ops/glv.psi_constants.
+    The (0,0) identity sentinel is re-imposed with an explicit mask (the
+    lazy field ops do not preserve stored-zero through sub)."""
+    from .glv import psi_constants
+
+    x, y = tables
+    inf = jnp.all(x == 0, axis=(0, 1)) & jnp.all(y == 0, axis=(0, 1))
+
+    def psi_coord(a, c):
+        # c * conj(a) for a = a0 + a1 u: (c0 a0 + c1 a1) + (c1 a0 - c0 a1) u
+        a0, a1 = a[:, 0], a[:, 1]
+        c0, c1 = c
+        n0 = field.add(field.mul_const(a0, c0), field.mul_const(a1, c1))
+        n1 = field.sub(field.mul_const(a0, c1), field.mul_const(a1, c0))
+        out = jnp.stack([n0, n1], axis=1)
+        return jnp.where(inf[None, None], jnp.zeros_like(out), out)
+
+    cx, cy = psi_constants()
+    xs, ys = [x], [y]
+    for _ in range(3):
+        xs.append(psi_coord(xs[-1], cx))
+        ys.append(psi_coord(ys[-1], cy))
+    return (
+        jnp.concatenate(xs, axis=-1),
+        jnp.concatenate(ys, axis=-1),
+    )
+
+
+def phi_extend_affine_tables(field, tables):
+    """GLV base extension of affine limb G1 tables: (x, y) coords
+    (L, W, nb, N) -> (L, W, nb, 2N) where the second half holds
+    phi(T[w,b,i]) = (beta * x, y).
+
+    Sound because phi is a group homomorphism: the bucket table of the
+    phi-mapped bases IS the phi-map of the bucket table — one constant
+    field multiply instead of a second bucket-chain build (ops/glv.py).
+    The (0, 0) identity sentinel survives (0 * beta stays exact 0)."""
+    from .glv import beta_g1
+
+    x, y = tables
+    x2 = field.mul_const(x, beta_g1())
+    return (
+        jnp.concatenate([x, x2], axis=-1),
+        jnp.concatenate([y, y], axis=-1),
+    )
 
 
 def digits_from_bits(bits: jnp.ndarray, c: int) -> jnp.ndarray:

@@ -61,10 +61,14 @@ def bits_from_std(field: LimbField, std: jnp.ndarray) -> jnp.ndarray:
     return flat[NBITS - 1 :: -1]  # restrict to NBITS and flip to MSB-first
 
 
+def std_from_mont(field: LimbField, x: jnp.ndarray) -> jnp.ndarray:
+    """(L, *S) Montgomery limbs -> canonical std-form digits, on device."""
+    return field.canon(field.mul(x, field._bc(field.one_limbs, x)))
+
+
 def bits_from_mont(field: LimbField, x: jnp.ndarray) -> jnp.ndarray:
     """(L, *S) Montgomery limbs -> (NBITS, *S) bits, MSB first, on device."""
-    std = field.canon(field.mul(x, field._bc(field.one_limbs, x)))  # from Mont
-    return bits_from_std(field, std)
+    return bits_from_std(field, std_from_mont(field, x))
 
 
 def _pad_pow2_int(n: int) -> int:
@@ -243,6 +247,13 @@ class BatchProver:
                 strategy == "rns"
                 or _os.environ.get("BMT_TABLE_SIGNED", "1") == "1"
             )
+            # GLV-2 on the G1 MSMs (ops/glv.py): scalars split on device
+            # into |k1|, |k2| < 2^128, base axis phi-extended to 2N —
+            # windows per fold drop ceil(255/c)+1 -> ceil(130/c)+1.
+            self._glv = (
+                strategy == "rns"
+                and _os.environ.get("BMT_GLV", "1") == "1"
+            )
             budget = int(_os.environ.get("BMT_TABLE_MEM_MB", "1536"))
             c_env = int(_os.environ.get("BMT_TABLE_C", "0"))
             table_idx = {}
@@ -269,16 +280,26 @@ class BatchProver:
                 # The window width is budgeted against the SUM of segment
                 # widths — the merged table holds all segments at once, so
                 # sizing it off one set's width would overshoot HBM ~4x.
-                self._g1_seg_sizes = tuple(
+                from ..ops.glv import GLV_NBITS
+
+                self._g1_logical_sizes = tuple(
                     crs[0].shape[-1] for crs in crs_g1
+                )
+                glv_mul = 2 if self._glv else 1
+                nbits_tab = GLV_NBITS if self._glv else 255
+                self._g1_seg_sizes = tuple(
+                    glv_mul * n for n in self._g1_logical_sizes
                 )
                 n_sum = sum(self._g1_seg_sizes)
                 c_tab = c_env or (
                     4
                     if jax.default_backend() == "cpu"
-                    else pick_table_c(n_sum, g2=False, budget_mb=budget)
+                    else pick_table_c(
+                        n_sum, g2=False, budget_mb=budget, nbits=nbits_tab
+                    )
                 )
                 from ..curves.rns_point import rns_g1_ops
+                from ..ops.msm import phi_extend_affine_tables
 
                 rns_tabs, bound = [], None
                 rns_by_id = {}
@@ -288,9 +309,13 @@ class BatchProver:
                         continue
                     tab = jax.jit(
                         lambda pts, c=c_tab: window_tables_affine(
-                            g1_device.ops, pts, c
+                            g1_device.ops, pts, c, nbits=nbits_tab
                         )
                     )(crs)
+                    if self._glv:
+                        tab = jax.jit(
+                            lambda t: phi_extend_affine_tables(bc.fp, t)
+                        )(tab)
                     rt, bound = tables_to_rns(rns_g1_ops(), bc.fp, tab)
                     rt = jax.block_until_ready(rt)
                     del tab  # free the limb table before the next build
@@ -309,18 +334,48 @@ class BatchProver:
                     continue
                 grp = g2_device if any(crs is c2 for c2 in crs_g2) else g1_device
                 n = crs[0].shape[-1]
+                glv_set = self._glv
+                if glv_set and grp is g1_device:
+                    from ..ops.glv import GLV_NBITS as _GN
+
+                    nbits_tab, n_eff = _GN, 2 * n
+                elif glv_set:
+                    from ..ops.glv import GLS_NBITS as _GSN
+
+                    nbits_tab, n_eff = _GSN, 4 * n
+                else:
+                    nbits_tab, n_eff = 255, n
                 on_cpu = jax.default_backend() == "cpu"
                 c_tab = c_env or (
-                    pick_table_c(n, g2=grp is g2_device, budget_mb=budget)
+                    pick_table_c(
+                        n_eff,
+                        g2=grp is g2_device,
+                        budget_mb=budget,
+                        nbits=nbits_tab,
+                    )
                     if self._table_signed and not on_cpu
                     else 4
                 )
                 if self._table_signed:
                     tab = jax.jit(
-                        lambda pts, ops=grp.ops, c=c_tab: window_tables_affine(
-                            ops, pts, c
+                        lambda pts, ops=grp.ops, c=c_tab, nb=nbits_tab: window_tables_affine(
+                            ops, pts, c, nbits=nb
                         )
                     )(crs)
+                    if glv_set:
+                        from ..ops.msm import (
+                            phi_extend_affine_tables,
+                            psi_extend_affine_tables_g2,
+                        )
+
+                        ext = (
+                            psi_extend_affine_tables_g2
+                            if grp is g2_device
+                            else phi_extend_affine_tables
+                        )
+                        tab = jax.jit(
+                            lambda t, e=ext: e(bc.fp, t)
+                        )(tab)
                 else:
                     tab = jax.jit(
                         lambda pts, ops=grp.ops, c=c_tab: window_tables(
@@ -344,6 +399,7 @@ class BatchProver:
             self._table_args = ()
             self._table_signed = False
             self._merge_g1 = False
+            self._glv = False
         table_idx = self._table_idx
         merge_g1 = self._merge_g1
 
@@ -362,14 +418,73 @@ class BatchProver:
         sbases = self._sbases
         table_signed = self._table_signed
 
-        def msm(ops, bases, bits, tables=()):
-            # bases: coord arrays (L, [2,] N); bits: (NBITS, B, N)
+        glv = self._glv
+
+        def glv_signed_digits(scal, c_tab, logical_sizes=None):
+            """(L, B, N) std digits -> GLV signed window digits (W', B, 2N).
+
+            One device decomposition (ops/glv.py), |k1|/|k2| bit vectors
+            concatenated on the base axis to match the phi-extended tables;
+            per-lane signs fold into the signed digits (negating every
+            digit of a scalar negates its value).  With `logical_sizes`,
+            the k1/k2 halves are interleaved PER SEGMENT to match the
+            merged [P_s || phi(P_s)] table layout."""
+            from ..ops.glv import decompose_glv2_device, digits_to_bits_msb
+
+            n1, m1, n2, m2 = decompose_glv2_device(scal)
+            b1, b2 = digits_to_bits_msb(m1), digits_to_bits_msb(m2)
+            if logical_sizes is None:
+                bits = jnp.concatenate([b1, b2], axis=-1)
+                neg = jnp.concatenate([n1, n2], axis=-1)
+            else:
+                pb, pn, off = [], [], 0
+                for s_ in logical_sizes:
+                    pb += [b1[..., off : off + s_], b2[..., off : off + s_]]
+                    pn += [n1[..., off : off + s_], n2[..., off : off + s_]]
+                    off += s_
+                bits = jnp.concatenate(pb, axis=-1)
+                neg = jnp.concatenate(pn, axis=-1)
+            sd = signed_digits(digits_from_bits(bits, c_tab), c_tab)
+            return jnp.where(neg[None], -sd, sd)
+
+        def gls_signed_digits(scal, c_tab):
+            """(L, B, N) std digits -> GLS-4 signed window digits
+            (W', B, 4N) matching the psi-extended G2 tables."""
+            from ..ops.glv import (
+                GLS_NBITS,
+                decompose_gls4_device,
+                digits_to_bits_msb,
+            )
+
+            neg, mag = decompose_gls4_device(scal)
+            bits = jnp.concatenate(
+                [digits_to_bits_msb(mag[t], GLS_NBITS) for t in range(4)],
+                axis=-1,
+            )
+            negs = jnp.concatenate([neg[t] for t in range(4)], axis=-1)
+            sd = signed_digits(digits_from_bits(bits, c_tab), c_tab)
+            return jnp.where(negs[None], -sd, sd)
+
+        def msm(ops, bases, scal, tables=()):
+            # bases: coord arrays (L, [2,] N); scal: (NBITS, B, N) bits —
+            # or (L, B, N) std-form digits when the GLV path is on.
             if strategy == "rns":
                 from ..curves.rns_point import rns_g1_ops, rns_g2_ops
 
                 idx, c_tab = table_idx[id(bases)]
-                digits = digits_from_bits(bits, c_tab)
                 rops = rns_g2_ops() if ops is g2o else rns_g1_ops()
+                if glv:
+                    sd = (
+                        gls_signed_digits(scal, c_tab)
+                        if ops is g2o
+                        else glv_signed_digits(scal, c_tab)
+                    )
+                    return msm_table_affine_rns(
+                        rops, bc.fp, tables[idx], sd,
+                        self._rns_bounds[id(bases)],
+                    )
+                bits = bits_from_std(fr, scal) if glv else scal
+                digits = digits_from_bits(bits, c_tab)
                 return msm_table_affine_rns(
                     rops,
                     bc.fp,
@@ -379,7 +494,7 @@ class BatchProver:
                 )
             if strategy == "table":
                 idx, c_tab = table_idx[id(bases)]
-                digits = digits_from_bits(bits, c_tab)
+                digits = digits_from_bits(scal, c_tab)
                 if self.mesh is not None:
                     from .sharded import (
                         sharded_msm_table,
@@ -402,40 +517,50 @@ class BatchProver:
                     )
                 return msm_table(ops, tables[idx], digits)
             if strategy == "flatpip" and bases[0].shape[-1] >= 16:
-                digits = digits_from_bits(bits, c_win)
+                digits = digits_from_bits(scal, c_win)
                 return msm_flat_pippenger(
                     ops, sbases[id(bases)], digits, c_win
                 )
             if strategy == "pippenger" and bases[0].shape[-1] >= 16:
-                digits = digits_from_bits(bits, c_win)
+                digits = digits_from_bits(scal, c_win)
                 return msm_pippenger_batched(ops, bases, digits, c_win)
             P = tuple(c[..., None, :] for c in bases)  # broadcast over B
-            per = scalar_mul_bits(ops, P, bits)
+            per = scalar_mul_bits(ops, P, scal)
             return tree_reduce(ops, per)  # (L, [2,] B, 1)
 
-        def msm_merged_g1(bits_list, tables):
+        def msm_merged_g1(scal_list, tables):
             """One RNS window fold for all large G1 MSMs (h, l, a, b1).
 
-            bits_list entries (already padded to their CRS widths) are
-            concatenated on the base axis; msm_table_affine_rns(seg_sizes)
-            folds all S MSMs in one pass and segment-reduces.  Returns S
+            scal_list entries (already padded to their CRS widths; bits, or
+            std digits under GLV) are concatenated on the base axis;
+            msm_table_affine_rns(seg_sizes) folds all S MSMs in one pass
+            and segment-reduces.  Under GLV each segment holds
+            [P_s || phi(P_s)] with scalars [k1_s || k2_s], so the segment
+            reduction itself recombines k1*P + k2*phi(P) = k*P.  Returns S
             limb points (L, B, 1)."""
             from ..curves.rns_point import rns_g1_ops
 
             idx, c_tab, bound = self._g1_merged
-            bits = jnp.concatenate(bits_list, axis=-1)
-            digits = digits_from_bits(bits, c_tab)
+            scal = jnp.concatenate(scal_list, axis=-1)
+            if glv:
+                sd = glv_signed_digits(
+                    scal, c_tab, logical_sizes=self._g1_logical_sizes
+                )
+            else:
+                sd = signed_digits(
+                    digits_from_bits(scal, c_tab), c_tab
+                )
             pts = msm_table_affine_rns(
                 rns_g1_ops(),
                 bc.fp,
                 tables[idx],
-                signed_digits(digits, c_tab),
+                sd,
                 bound,
                 seg_sizes=self._g1_seg_sizes,
             )  # (L, B, S)
             return [
                 tuple(x[..., s : s + 1] for x in pts)
-                for s in range(len(bits_list))
+                for s in range(len(scal_list))
             ]
 
         def msm_stacked(ops, base_list, bits_list):
@@ -495,9 +620,16 @@ class BatchProver:
             h = jax.vmap(pipeline, in_axes=1, out_axes=1)(a, b, c)
             h = h[:, :, : self.m - 1]
 
-            bits_h = pad_scalars(bits_from_mont(fr, h), self.h_n)
-            bits_aux = bits_from_std(fr, wit_aux)
-            bits_in = bits_from_std(fr, wit_in)
+            if glv:
+                # GLV path: keep std-form digit tensors; the per-MSM
+                # decomposition happens inside msm()/msm_merged_g1.
+                bits_h = pad_scalars(std_from_mont(fr, h), self.h_n)
+                bits_aux = wit_aux
+                bits_in = wit_in
+            else:
+                bits_h = pad_scalars(bits_from_mont(fr, h), self.h_n)
+                bits_aux = bits_from_std(fr, wit_aux)
+                bits_in = bits_from_std(fr, wit_in)
 
             def sel(bits, idx):
                 if not idx:

@@ -105,6 +105,57 @@ def main():
             log(f"gate[{name}]: FAIL (exception: {type(e).__name__}: {e})")
             failures.append(name)
 
+    # Second circuit shape (VERDICT r4 #9): the round-4 miscompile was
+    # compilation-context-dependent, so the gate needs a second context.
+    # RangeDemo has a tiny domain (2^5) and tiny CRS sets, which drives the
+    # adaptive window picker to completely different table/fold shapes.
+    if os.environ.get("BMT_GATE_RANGE", "1") == "1":
+        from bellman_mpc_tpu.models import RangeDemo
+
+        os.environ.pop("BMT_MERGE_G1", None)
+        log("gate[range/auto]: building prover ...")
+        try:
+            setup = RangeDemo(
+                a=1, b=2, n=4, w=9, wArray=[0, 0, 0, 0],
+                less_or_equal=1, less=1, not_all_zeros=1,
+            )
+            r_params = generate_random_parameters(BLS12_381, setup)
+            r_pvk = prepare_verifying_key(BLS12_381, r_params.vk)
+
+            def range_circ(d):
+                w = 8 + d
+                bits = [(w >> i) & 1 for i in range(4)]
+                return RangeDemo(
+                    a=1, b=1 + d, n=4, w=w, wArray=bits,
+                    less_or_equal=1, less=1, not_all_zeros=1,
+                )
+
+            ds = [1 + (i % 7) for i in range(B)]
+            bp = BatchProver(
+                BLS12_381, r_params, range_circ(1), msm_strategy="auto"
+            )
+            t0 = time.time()
+            proofs = bp.prove_batch([range_circ(d) for d in ds])
+            log(f"gate[range/auto]: batch in {time.time() - t0:.0f}s; verifying ...")
+            seq = create_random_proof(BLS12_381, range_circ(ds[0]), r_params)
+            bad = 0
+            for d, proof in zip(ds, proofs):
+                try:
+                    verify_proof(BLS12_381, r_pvk, proof, [1 + d])
+                except InvalidProof:
+                    bad += 1
+            if proofs[0] != seq:
+                log("gate[range/auto]: FAIL (not bit-identical to sequential)")
+                failures.append("range/auto")
+            elif bad:
+                log(f"gate[range/auto]: FAIL ({bad}/{B} proofs invalid)")
+                failures.append("range/auto")
+            else:
+                log(f"gate[range/auto]: OK ({B}/{B} proofs verify, bit-identical)")
+        except Exception as e:  # noqa: BLE001
+            log(f"gate[range/auto]: FAIL (exception: {type(e).__name__}: {e})")
+            failures.append("range/auto")
+
     if failures:
         print(f"CHIP GATE FAIL: {failures}", flush=True)
         sys.exit(1)

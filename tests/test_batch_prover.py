@@ -67,7 +67,8 @@ def test_batch_prover_table_matches_sequential(setup):
 
 
 def test_batch_prover_rns_matches_sequential(setup, monkeypatch):
-    """RNS/MXU MSM strategy (per-MSM folds default) — bit-identical proofs."""
+    """RNS/MXU MSM strategy (per-MSM folds, default GLV-2 on) — proofs
+    bit-identical: the GLV split computes the same group elements."""
     monkeypatch.delenv("BMT_MERGE_G1", raising=False)
     host, constants, params, pvk = setup
     bp = BatchProver(
@@ -75,7 +76,21 @@ def test_batch_prover_rns_matches_sequential(setup, monkeypatch):
         msm_strategy="rns",
     )
     assert not bp._merge_g1  # default: the chip-verified per-MSM folds
+    assert bp._glv
     _check(host, constants, params, pvk, bp, seed=4, B=2)
+
+
+def test_batch_prover_rns_noglv_matches_sequential(setup, monkeypatch):
+    """RNS strategy with the GLV decomposition disabled (BMT_GLV=0)."""
+    monkeypatch.delenv("BMT_MERGE_G1", raising=False)
+    monkeypatch.setenv("BMT_GLV", "0")
+    host, constants, params, pvk = setup
+    bp = BatchProver(
+        BLS12_381, params, MiMCDemo(constants, 0, 0),
+        msm_strategy="rns",
+    )
+    assert not bp._glv
+    _check(host, constants, params, pvk, bp, seed=6, B=2)
 
 
 def test_batch_prover_rns_merged_matches_sequential(setup, monkeypatch):
