@@ -99,6 +99,11 @@ class RnsVal:
         kp = f.kp_table(K)
         s = kp.reshape((f.C,) + (1,) * (self.res.ndim - 1)) - self.res
         s = jnp.where(s >= f.m_bc(s), s - f.m_bc(s), s)
+        # keep residues CANONICAL: kp < m and res < m make s > -m possible;
+        # without this fixup, negative residues chain through later adds and
+        # push products past the f32-exact 2^24 window the Pallas fold's
+        # float pipeline relies on (int32 XLA merely tolerated them).
+        s = jnp.where(s < 0, s + f.m_bc(s), s)
         return RnsVal(f, s, Fraction(K))
 
     def scale(self, k: int) -> "RnsVal":
@@ -157,27 +162,31 @@ class RnsField:
         for i, m in enumerate(self.mB):
             Mi = M // m
             kappa[i] = (-pow(p, -1, m) * pow(Mi, -1, m)) % m
-        self.kappa_dev = jnp.asarray(kappa, jnp.int32)
+        self.kappa_np = np.asarray(kappa, np.int32)
+        self.kappa_dev = jnp.asarray(self.kappa_np)
 
         # M^{-1} mod m on B' ∪ {m_r}; 0 on B
         minv = [0] * self.C
         for j, m in enumerate(self.mBp):
             minv[k + j] = pow(M, -1, m)
         minv[2 * k] = pow(M, -1, self.mr)
-        self.minv_dev = jnp.asarray(minv, jnp.int32)
+        self.minv_np = np.asarray(minv, np.int32)
+        self.minv_dev = jnp.asarray(self.minv_np)
 
         # (M'/m'_j)^{-1} mod m'_j on B'; 0 elsewhere
         ifac2 = [0] * self.C
         for j, m in enumerate(self.mBp):
             ifac2[k + j] = pow(Mp // m, -1, m)
-        self.ifac2_dev = jnp.asarray(ifac2, jnp.int32)
+        self.ifac2_np = np.asarray(ifac2, np.int32)
+        self.ifac2_dev = jnp.asarray(self.ifac2_np)
 
         self.mpinv_mr = int(pow(Mp, -1, self.mr))  # M'^{-1} mod m_r
         # M' mod m_i on B (for the alpha' correction); 0 elsewhere
         mp_mod = [0] * self.C
         for i, m in enumerate(self.mB):
             mp_mod[i] = Mp % m
-        self.mp_mod_dev = jnp.asarray(mp_mod, jnp.int32)
+        self.mp_mod_np = np.asarray(mp_mod, np.int32)
+        self.mp_mod_dev = jnp.asarray(self.mp_mod_np)
 
         # ---------------- extension matmul matrices -------------------------
         # ext1: targets B' ∪ {m_r} (34 rows), entries ((M/m_i) * p) mod target
@@ -187,7 +196,8 @@ class RnsField:
             v = (M // mi) * p
             for jt, mt in enumerate(tg1):
                 W1[jt, i] = v % mt
-        self.W1_dev, self.n_tg1 = jnp.asarray(self._int8_blocks(W1)), k + 1
+        self.W1_np = self._int8_blocks(W1)
+        self.W1_dev, self.n_tg1 = jnp.asarray(self.W1_np), k + 1
 
         # ext2: targets B ∪ {m_r} (34 rows), entries (M'/m'_j) mod target
         tg2 = self.mB + [self.mr]
@@ -196,7 +206,8 @@ class RnsField:
             v = Mp // mj
             for it, mt in enumerate(tg2):
                 W2[it, j] = v % mt
-        self.W2_dev, self.n_tg2 = jnp.asarray(self._int8_blocks(W2)), k + 1
+        self.W2_np = self._int8_blocks(W2)
+        self.W2_dev, self.n_tg2 = jnp.asarray(self.W2_np), k + 1
 
         # digit -> RNS conversion: targets ALL channels, sources 11-bit
         # limb digits (up to 2L = 72 of them; callers pass n_dig).

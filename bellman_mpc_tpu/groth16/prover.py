@@ -54,12 +54,29 @@ def _h_pipeline(field: LimbField, host: PrimeField, exp: int):
         x = distribute_powers(field, host, x, gen)
         return ntt(field, host, x, inverse=False)  # coset_fft
 
+    import os
+
+    use_pallas = os.environ.get("BMT_PALLAS") == "1"
+
+    def pointwise_mul(a, b):
+        # BMT_PALLAS=1 routes the coset pointwise product (the largest
+        # single multiply of the pipeline, domain.rs:154-170 analog)
+        # through the VMEM-blocked Pallas Montgomery kernel; default is
+        # XLA's fused limb code.  Bit-identical either way (tested).
+        if use_pallas:
+            from ..ops.pallas_kernels import mont_mul_pallas
+
+            flat = a.reshape(a.shape[0], -1)
+            out = mont_mul_pallas(field, flat, b.reshape(flat.shape))
+            return out.reshape(a.shape)
+        return field.mul(a, b)
+
     @jax.jit
     def pipeline(a, b, c):
         a = coset_values(a)
         b = coset_values(b)
         c = coset_values(c)
-        h = field.sub(field.mul(a, b), c)
+        h = field.sub(pointwise_mul(a, b), c)
         h = field.mul_const(h, zinv)  # divide_by_z_on_coset
         h = ntt(field, host, h, inverse=True)  # icoset_fft part 1
         h = distribute_powers(field, host, h, geninv)

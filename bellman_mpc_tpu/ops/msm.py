@@ -701,6 +701,80 @@ def msm_table_affine_rns(
     ind = mag[..., None, :]
     sgn = sdigits < 0
 
+    from .pallas_kernels import _RNS_PAD_C
+
+    if rops.fp2 and xs.shape[0] == _RNS_PAD_C:
+        # G2 variant of the Pallas fold (per-component Fp2 tiles).
+        from .pallas_kernels import (
+            rns_fold_window_pallas_g2,
+            rns_pad_rows,
+            rns_unpad_rows,
+        )
+
+        def body_pallas_g2(w, acc_res):
+            def pick(t):
+                t_w = jax.lax.dynamic_index_in_dim(
+                    t, w, t.ndim - 3, keepdims=False
+                )  # (80, 2, nb, N)
+                i_w = jax.lax.dynamic_index_in_dim(
+                    ind, w, ind.ndim - 4, keepdims=False
+                )
+                return jnp.take_along_axis(t_w[..., None, :], i_w, axis=-3)[
+                    ..., 0, :
+                ].astype(jnp.int32)  # (80, 2, B, N)
+
+            qx, qy = pick(xs), pick(ys)
+            sg = jax.lax.dynamic_index_in_dim(sgn, w, 0, keepdims=False)
+            return rns_fold_window_pallas_g2(
+                rops.f, rops.b3c, acc_res, (qx, qy), sg, tab_bound, cap
+            )
+
+        acc0 = rpt.point_identity(rops, (B, N))
+        acc0_res = tuple(rns_pad_rows(rops.f, v.res) for v in acc0)
+        acc_res_pad = jax.lax.fori_loop(0, W, body_pallas_g2, acc0_res)
+        acc = tuple(
+            rops.wrap(rns_unpad_rows(rops.f, r), cap) for r in acc_res_pad
+        )
+        return _rns_fold_reduce(rops, lf, acc, cap, seg_sizes, N)
+
+    if not rops.fp2 and xs.shape[0] == _RNS_PAD_C:
+        # Tables arrive in the 80-row aligned padded layout (see
+        # pallas_kernels.pad_rns_table): run the window fold through the
+        # whole-mixed-add Pallas kernel — the complete addition's
+        # intermediates stay in VMEM instead of costing ~0.5 GB of HBM
+        # round trips per window (the round-5 fold profile).
+        from .pallas_kernels import (
+            rns_fold_window_pallas,
+            rns_pad_rows,
+            rns_unpad_rows,
+        )
+
+        def body_pallas(w, acc_res):
+            def pick(t):
+                t_w = jax.lax.dynamic_index_in_dim(
+                    t, w, t.ndim - 3, keepdims=False
+                )  # (80, nb, N)
+                i_w = jax.lax.dynamic_index_in_dim(
+                    ind, w, ind.ndim - 4, keepdims=False
+                )
+                return jnp.take_along_axis(t_w[..., None, :], i_w, axis=-3)[
+                    ..., 0, :
+                ].astype(jnp.int32)  # (80, B, N)
+
+            qx, qy = pick(xs), pick(ys)
+            sg = jax.lax.dynamic_index_in_dim(sgn, w, 0, keepdims=False)
+            return rns_fold_window_pallas(
+                rops.f, rops.b3, acc_res, (qx, qy), sg, tab_bound, cap
+            )
+
+        acc0 = rpt.point_identity(rops, (B, N))
+        acc0_res = tuple(rns_pad_rows(rops.f, v.res) for v in acc0)
+        acc_res_pad = jax.lax.fori_loop(0, W, body_pallas, acc0_res)
+        acc = tuple(
+            rops.wrap(rns_unpad_rows(rops.f, r), cap) for r in acc_res_pad
+        )
+        return _rns_fold_reduce(rops, lf, acc, cap, seg_sizes, N)
+
     def body(w, acc_res):
         acc = tuple(rpt.RnsVal(rops.f, r, cap) for r in acc_res)
 
@@ -734,6 +808,14 @@ def msm_table_affine_rns(
     acc0 = rpt.point_identity(rops, (B, N))
     acc_res = jax.lax.fori_loop(0, W, body, tuple(v.res for v in acc0))
     acc = tuple(rops.wrap(r, cap) for r in acc_res)
+    return _rns_fold_reduce(rops, lf, acc, cap, seg_sizes, N)
+
+
+def _rns_fold_reduce(rops, lf, acc, cap, seg_sizes, N):
+    """Shared tail of msm_table_affine_rns: tree/segment reduction of the
+    folded accumulator + the bridge back to limb form."""
+    from ..curves import rns_point as rpt
+
     if seg_sizes is None:
         red = rpt.tree_reduce(rops, acc, cap)
         return rpt.rns_point_to_limb(rops, rops.f, lf, red)

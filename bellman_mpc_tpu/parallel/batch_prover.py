@@ -247,12 +247,24 @@ class BatchProver:
                 strategy == "rns"
                 or _os.environ.get("BMT_TABLE_SIGNED", "1") == "1"
             )
-            # GLV-2 on the G1 MSMs (ops/glv.py): scalars split on device
-            # into |k1|, |k2| < 2^128, base axis phi-extended to 2N —
-            # windows per fold drop ceil(255/c)+1 -> ceil(130/c)+1.
+            # GLV-2/GLS-4 endomorphism split (ops/glv.py): fewer windows
+            # at proportionally wider lanes.  Default OFF: the round-5 chip
+            # sweep measured the fold WORK-bound, not window-bound (GLV-on
+            # step 678 ms vs 378 ms at B=16) — the split only pays off in a
+            # dispatch-bound regime.  Kept as a validated opt-in.
             self._glv = (
                 strategy == "rns"
-                and _os.environ.get("BMT_GLV", "1") == "1"
+                and _os.environ.get("BMT_GLV", "0") == "1"
+            )
+            # Route the G1 window folds through the whole-mixed-add Pallas
+            # kernel (ops/pallas_kernels.rns_fold_window_pallas): tables
+            # are stored in the 80-row aligned layout and
+            # msm_table_affine_rns auto-detects it.  TPU only (the CPU
+            # interpret path is for correctness tests).
+            self._pallas_fold = (
+                strategy == "rns"
+                and jax.default_backend() != "cpu"
+                and _os.environ.get("BMT_PALLAS_FOLD", "1") == "1"
             )
             budget = int(_os.environ.get("BMT_TABLE_MEM_MB", "1536"))
             c_env = int(_os.environ.get("BMT_TABLE_C", "0"))
@@ -326,6 +338,13 @@ class BatchProver:
                     for k in range(2)
                 )
                 del rns_tabs, rns_by_id
+                if self._pallas_fold:
+                    from ..curves.rns_point import default_rns_field
+                    from ..ops.pallas_kernels import pad_rns_table
+
+                    merged_tab = jax.jit(
+                        lambda t: pad_rns_table(default_rns_field(), t)
+                    )(merged_tab)
                 self._g1_merged = (len(table_args), c_tab, bound)
                 table_args.append(merged_tab)
             remaining = (() if self._merge_g1 else crs_g1) + crs_g2
@@ -390,6 +409,13 @@ class BatchProver:
                     rops = rns_g2_ops() if grp is g2_device else rns_g1_ops()
                     tab, bound = tables_to_rns(rops, bc.fp, tab)
                     self._rns_bounds[id(crs)] = bound
+                    if self._pallas_fold:
+                        from ..curves.rns_point import default_rns_field
+                        from ..ops.pallas_kernels import pad_rns_table
+
+                        tab = jax.jit(
+                            lambda t: pad_rns_table(default_rns_field(), t)
+                        )(tab)
                 table_idx[id(crs)] = (len(table_args), c_tab)
                 table_args.append(tab)
             self._table_idx = table_idx
@@ -400,6 +426,7 @@ class BatchProver:
             self._table_signed = False
             self._merge_g1 = False
             self._glv = False
+            self._pallas_fold = False
         table_idx = self._table_idx
         merge_g1 = self._merge_g1
 

@@ -67,8 +67,7 @@ def test_batch_prover_table_matches_sequential(setup):
 
 
 def test_batch_prover_rns_matches_sequential(setup, monkeypatch):
-    """RNS/MXU MSM strategy (per-MSM folds, default GLV-2 on) — proofs
-    bit-identical: the GLV split computes the same group elements."""
+    """RNS/MXU MSM strategy (per-MSM folds default) — bit-identical proofs."""
     monkeypatch.delenv("BMT_MERGE_G1", raising=False)
     host, constants, params, pvk = setup
     bp = BatchProver(
@@ -76,20 +75,21 @@ def test_batch_prover_rns_matches_sequential(setup, monkeypatch):
         msm_strategy="rns",
     )
     assert not bp._merge_g1  # default: the chip-verified per-MSM folds
-    assert bp._glv
+    assert not bp._glv  # work-bound fold: the GLV split is opt-in
     _check(host, constants, params, pvk, bp, seed=4, B=2)
 
 
-def test_batch_prover_rns_noglv_matches_sequential(setup, monkeypatch):
-    """RNS strategy with the GLV decomposition disabled (BMT_GLV=0)."""
+def test_batch_prover_rns_glv_matches_sequential(setup, monkeypatch):
+    """RNS strategy with the GLV-2/GLS-4 endomorphism split (BMT_GLV=1):
+    bit-identical proofs (the split computes the same group elements)."""
     monkeypatch.delenv("BMT_MERGE_G1", raising=False)
-    monkeypatch.setenv("BMT_GLV", "0")
+    monkeypatch.setenv("BMT_GLV", "1")
     host, constants, params, pvk = setup
     bp = BatchProver(
         BLS12_381, params, MiMCDemo(constants, 0, 0),
         msm_strategy="rns",
     )
-    assert not bp._glv
+    assert bp._glv
     _check(host, constants, params, pvk, bp, seed=6, B=2)
 
 
