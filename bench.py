@@ -105,11 +105,12 @@ def main() -> None:
     t0 = time.time()
     outs = []
     for wits in batch_wit:
-        provers = [
-            bp.compiled.prove_assignment(MiMCDemo(constants, xl, xr))
-            for xl, xr in wits
-        ]
-        outs.append(bp.run_step(*bp.encode_witness(provers)))
+        # fused host path: witness synthesis + native C LC eval straight to
+        # wire bytes (encode_circuits), overlapped with the device step
+        args_k = bp.encode_circuits(
+            [MiMCDemo(constants, xl, xr) for xl, xr in wits]
+        )
+        outs.append(bp.run_step(*args_k))
     jax.block_until_ready(outs)
     t_sustained = (time.time() - t0) / n_batches
     log(f"pipelined sustained {t_sustained:.3f}s/batch for B={B}")
