@@ -88,12 +88,21 @@ def _check_msm(strategy, n, B, c, budget_mb=6144):
     scal = [[rng.randrange(R) for _ in range(n)] for _ in range(B)]
     bits = jnp.stack([scalars_to_bits(s, 255) for s in scal], axis=1)
     sd = signed_digits(digits_from_bits(bits, c), c)
-    if strategy == "rns":
-        from bellman_mpc_tpu.curves.rns_point import rns_g1_ops
+    if strategy in ("rns", "rns-pallas"):
+        from bellman_mpc_tpu.curves.rns_point import (
+            default_rns_field,
+            rns_g1_ops,
+        )
 
         rops = rns_g1_ops()
         rt, bound = tables_to_rns(rops, bc.fp, tab)
         del tab
+        if strategy == "rns-pallas":
+            from bellman_mpc_tpu.ops.pallas_kernels import pad_rns_table
+
+            rt = jax.jit(
+                lambda t: pad_rns_table(default_rns_field(), t)
+            )(rt)
         out = jax.jit(
             lambda t_, d_: msm_table_affine_rns(rops, bc.fp, t_, d_, bound)
         )(rt, sd)
@@ -131,6 +140,14 @@ def test_msm_rns_bench_scale(chip_setup):
     probed shape (scripts/probe_fix_variants.py)."""
     _check_msm("rns", 1024, 16, 8)
     _check_msm("rns", 512, 16, 8)
+
+
+@needs_tpu
+def test_msm_rns_pallas_bench_scale(chip_setup):
+    """The SHIPPING fold path — padded tables through the Pallas
+    whole-mixed-add kernel — at the bench CRS shape, vs the host oracle
+    (multiexp.rs:285-327 parity for the round-5 default)."""
+    _check_msm("rns-pallas", 1024, 16, 8)
 
 
 @needs_tpu
